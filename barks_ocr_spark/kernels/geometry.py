@@ -1,0 +1,140 @@
+"""Geometry kernels (SURVEY.md §2.8): rect math, panel containment,
+enclosing boxes, shrink-and-retry panel assignment — all numpy-vectorized.
+
+Coordinate convention follows the reference: an OCR box is an 8-int quad
+``[x0,y0, x1,y1, x2,y2, x3,y3]`` (bl, br, tr, tl in image coords,
+`src/barks_ocr/pipeline/batch_ocr.py:211-222`); a panel is ``[x, y, w, h]``
+top-left + size (`src/barks_ocr/pipeline/gemini_grouper.py:303-312`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Shrink-retry offsets for boxes straddling a panel border
+# (`src/barks_ocr/tools/ocr_check.py:471-490`).
+SHRINK_RETRIES = (0, 20, 40, 60)
+
+
+def axis_bbox(quads: np.ndarray) -> np.ndarray:
+    """Axis-aligned bbox (x_min, y_min, x_max, y_max) per 8-int quad.
+
+    For near-axis-aligned quads this equals the reference's
+    minimum-rotated-rectangle envelope path (`src/barks_ocr/utils/
+    ocr_box.py:25-78`: rectangular within ±5° → axis rect; else envelope).
+    """
+    q = np.asarray(quads, dtype=np.int64).reshape(-1, 4, 2)
+    xs, ys = q[:, :, 0], q[:, :, 1]
+    return np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1)
+
+
+def enclosing_box(bboxes: np.ndarray) -> np.ndarray:
+    """Min/max hull over member bboxes (A1,
+    `src/barks_ocr/pipeline/gemini_grouper.py:281-288`)."""
+    b = np.asarray(bboxes, dtype=np.int64).reshape(-1, 4)
+    return np.array([b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max()])
+
+
+def rect_inside_rect(inner: np.ndarray, outer: np.ndarray) -> np.ndarray:
+    """All four corners of ``inner`` inside ``outer`` (inclusive).
+
+    `src/barks_ocr/utils/geometry.py:114-127` (is_rect_inside_rect via
+    is_point_inside_rect). Shapes: inner (n,4) xyxy, outer (m,4) xyxy;
+    returns (n, m) bool.
+    """
+    i = np.asarray(inner, dtype=np.int64)[:, None, :]
+    o = np.asarray(outer, dtype=np.int64)[None, :, :]
+    return (
+        (i[..., 0] >= o[..., 0])
+        & (i[..., 1] >= o[..., 1])
+        & (i[..., 2] <= o[..., 2])
+        & (i[..., 3] <= o[..., 3])
+    )
+
+
+def assign_panels(bboxes: np.ndarray, panels_xywh: np.ndarray) -> np.ndarray:
+    """1-based first-containing-panel per bbox, -1 when none — with the
+    20/40/60-px shrink retry (J2+J3).
+
+    `src/barks_ocr/pipeline/gemini_grouper.py:290-312` (first match wins,
+    panels in reading order) + `src/barks_ocr/tools/ocr_check.py:471-506`
+    (shrink box symmetrically by 20/40/60 and retry; give up → -1).
+    """
+    b = np.asarray(bboxes, dtype=np.int64).reshape(-1, 4)
+    if b.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64)
+    p = np.asarray(panels_xywh, dtype=np.int64).reshape(-1, 4)
+    p_xyxy = np.stack([p[:, 0], p[:, 1], p[:, 0] + p[:, 2], p[:, 1] + p[:, 3]], axis=1)
+
+    out = np.full(b.shape[0], -1, dtype=np.int64)
+    for reduce_by in SHRINK_RETRIES:
+        undecided = out == -1
+        if not undecided.any():
+            break
+        shrunk = b[undecided] + np.array([reduce_by, reduce_by, -reduce_by, -reduce_by])
+        # A degenerate shrunk box (x1<=x0 or y1<=y0) cannot be reduced —
+        # the reference aborts the retry loop for it (:486-488).
+        valid = (shrunk[:, 2] > shrunk[:, 0]) & (shrunk[:, 3] > shrunk[:, 1])
+        inside = rect_inside_rect(shrunk, p_xyxy)  # (n_undecided, n_panels)
+        first = np.where(inside.any(1), inside.argmax(1) + 1, -1)
+        first = np.where(valid, first, -1)
+        idx = np.flatnonzero(undecided)
+        # Only accept assignments found at this retry level; keep -1 rows
+        # in play for the next (larger) shrink.
+        out[idx[first > 0]] = first[first > 0]
+    return out
+
+
+def cluster_boxes(bboxes: np.ndarray, gap: int = 12) -> np.ndarray:
+    """Group boxes into speech-bubble clusters by padded-bbox overlap.
+
+    The reference delegates grouping to an LLM under the contract "one
+    group per bubble, never across panels"
+    (`src/barks_ocr/utils/gemini_ai_comic_prompts.py:90-106`); this is the
+    deterministic local replacement: union-find over pairwise overlap of
+    bboxes padded by ``gap`` px. Returns a group label per box.
+    """
+    b = np.asarray(bboxes, dtype=np.int64).reshape(-1, 4)
+    n = b.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    padded = b + np.array([-gap, -gap, gap, gap])
+    a, c = padded[:, None, :], padded[None, :, :]
+    overlap = (
+        (a[..., 0] <= c[..., 2])
+        & (c[..., 0] <= a[..., 2])
+        & (a[..., 1] <= c[..., 3])
+        & (c[..., 1] <= a[..., 3])
+    )
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in np.flatnonzero(overlap[i, i + 1 :]) + i + 1:
+            ri, rj = find(i), find(int(j))
+            if ri != rj:
+                parent[rj] = ri
+    roots = np.array([find(i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels
+
+
+def reading_order(panel_num: np.ndarray, y0: np.ndarray, x0: np.ndarray) -> np.ndarray:
+    """Reading-order rank (0-based) per group: panel-major, then top-to-
+    bottom, left-to-right; unassigned (-1) panels sort last (W1).
+
+    Panel precedence per the row-major formula in
+    `scraps/damishshah_comic_book_reader.py:34-37`; tie-break fixed as
+    ``(panel_num, y0, x0)`` per FIXTURES.md §3.
+    """
+    pn = np.asarray(panel_num, dtype=np.int64)
+    key_panel = np.where(pn == -1, np.iinfo(np.int32).max, pn)
+    order = np.lexsort((np.asarray(x0), np.asarray(y0), key_panel))
+    ranks = np.empty(len(order), dtype=np.int64)
+    ranks[order] = np.arange(len(order))
+    return ranks

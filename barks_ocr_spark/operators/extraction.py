@@ -1,0 +1,136 @@
+"""The flagship extraction job: interleaved docs → ordered span arrays.
+
+Physical shape (designed for a 10^12-doc table):
+
+  Pass 1 (tiny shuffle): heading candidates → groupBy(variant)
+      .agg(countDistinct(doc_id)) → filter ≥3. Candidates are rare
+      (headers/page-number-shaped spans only) and short strings, so this
+      aggregate is a few MB at any corpus size; the surviving set is
+      collected and broadcast (`books/src/book_pages.py:295-321`'s
+      two-pass repeated-heading rule, distributed).
+
+  Pass 2 (narrow, shuffle-free): mapInPandas over the docs table runs the
+      whole per-document kernel (kernels/spans.py) on Arrow batches. Every
+      document's work is intra-row, so this stage scales linearly with
+      executors — no join, no shuffle, no skewed keys. Skewed giant docs
+      (splash pages with 100× spans) are stragglers, not hot shuffle
+      keys; `repartition(doc_id)` before the kernel spreads them evenly.
+
+All string work is vectorized pandas inside the batch — no per-row
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barks_ocr_spark.kernels import spans as span_kernel
+from barks_ocr_spark.kernels import textnorm as tn
+from barks_ocr_spark.schemas import DOCUMENTS_SPANS_SCHEMA
+
+_CANDIDATE_SCHEMA = "doc_id string, variant string"
+
+
+def heading_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_id, variant) candidate pairs, via the shared pandas kernel."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            flat = span_kernel.flatten(batch)
+            yield span_kernel.heading_variant_candidates(flat)
+
+    return docs.select("doc_id", "spans").mapInPandas(_gen, _CANDIDATE_SCHEMA)
+
+
+def repeating_headings(docs: DataFrame) -> DataFrame:
+    """variants appearing on ≥3 distinct docs (A7). Returns DataFrame[variant]."""
+    return (
+        heading_candidates(docs)
+        .groupBy("variant")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= tn.RUNNING_HEADER_REPEAT_THRESHOLD)
+        .select("variant")
+    )
+
+
+def inject_page_scans(docs: DataFrame, page_scans: DataFrame) -> DataFrame:
+    """J9: prepend a synthetic full-page-scan media span at reading-order
+    head for docs present in ``page_scans``
+    (`books/src/llama-parse-build-epub.py:1080-1122`).
+
+    ``page_scans`` is a small dim table → broadcast left join, no shuffle
+    of the fat docs side.
+    """
+    scan = F.broadcast(page_scans.withColumnRenamed("media_ref", "_scan_ref"))
+    joined = docs.join(scan, "doc_id", "left")
+    scan_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.col("_scan_ref").alias("media_ref"),
+        F.lit(-1).cast("int").alias("offset"),
+    )
+    return joined.withColumn(
+        "spans",
+        F.when(
+            F.col("_scan_ref").isNotNull(),
+            F.concat(F.array(scan_span), F.col("spans")),
+        ).otherwise(F.col("spans")),
+    ).drop("_scan_ref")
+
+
+def extract(
+    docs: DataFrame,
+    page_scans: DataFrame | None = None,
+    repeating: frozenset[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full extraction: returns (doc_id, spans) with the output contract
+    of kernels/spans.py (span-sequence equality key: kind, text,
+    media_ref, order)."""
+    spark = docs.sparkSession
+    if repeating is None:
+        repeating = frozenset(
+            r["variant"] for r in repeating_headings(docs).collect()
+        )
+    bc = spark.sparkContext.broadcast(repeating)
+
+    if page_scans is not None:
+        docs = inject_page_scans(docs, page_scans)
+    if num_partitions is not None:
+        # spread skewed giant docs (single rows) evenly across tasks
+        docs = docs.repartition(num_partitions, "doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rep = bc.value
+        for batch in batches:
+            yield span_kernel.extract_documents(batch, rep)
+
+    return docs.select("doc_id", "spans").mapInPandas(_gen, DOCUMENTS_SPANS_SCHEMA)
+
+
+def extraction_metrics(result: DataFrame) -> DataFrame:
+    """Per-partition lineage metrics (A10/R6): pages processed, spans
+    emitted, OCR-empty rate (docs with zero text spans)."""
+    text_spans = F.size(F.filter("spans", lambda s: s["kind"] == F.lit("text")))
+    return (
+        result.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.size("spans").alias("n_spans"),
+            (text_spans == 0).cast("int").alias("is_empty"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("pages_processed"),
+            F.sum("n_spans").alias("spans_emitted"),
+            F.avg("is_empty").alias("ocr_empty_rate"),
+        )
+    )
+
+
+def load_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Read an interleaved-docs parquet/Iceberg table."""
+    return spark.read.parquet(path)

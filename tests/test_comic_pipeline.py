@@ -1,0 +1,73 @@
+"""Comic-page pipeline: binary page image → OCR decode → groups → spans."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from barks_ocr_spark.datagen import docs as dg
+from barks_ocr_spark.kernels import fakeocr, geometry as geo, grouping as gk
+from barks_ocr_spark.operators import comic
+from barks_ocr_spark.schemas import PAGES_GEOM_SCHEMA
+
+
+def test_codec_roundtrip():
+    panels = [(40, 40, 960, 980)]
+    boxes = [([10, 58, 210, 58, 210, 10, 10, 10], "hello there", 0.91)]
+    page = fakeocr.decode_page(fakeocr.encode_page(2000, 3000, panels, boxes))
+    assert page["page_w"] == 2000
+    assert list(page["panels"][0]) == [40, 40, 960, 980]
+    assert page["boxes"][0]["ocr_text"] == "hello there"
+    assert abs(page["boxes"][0]["prob"] - 0.91) < 1e-6
+
+
+def test_assign_panels_shrink_retry():
+    panels = np.array([[100, 100, 500, 500]])
+    inside = [150, 150, 300, 200]          # direct containment
+    straddle15 = [85, 300, 300, 460]       # 15px overhang → shrink 20 fixes
+    straddle55 = [45, 300, 300, 500]       # 55px overhang → shrink 60 fixes
+    gutter = [0, 0, 50, 50]                # never inside
+    out = geo.assign_panels(np.array([inside, straddle15, straddle55, gutter]), panels)
+    assert out.tolist() == [1, 1, 1, -1]
+
+
+def test_reading_order_row_major():
+    # panels 1..4; -1 sorts last; within panel by (y, x)
+    pn = np.array([2, 1, 1, -1, 3])
+    y0 = np.array([10, 50, 10, 0, 5])
+    x0 = np.array([0, 0, 900, 0, 0])
+    ranks = geo.reading_order(pn, y0, x0)
+    # panel1:(10,900)=0? no: panel1 rows → (1,10,900) rank 1? ordering:
+    # (1,10,900)→0, (1,50,0)→1, (2,10,0)→2, (3,5,0)→3, (-1,..)→4
+    assert ranks.tolist() == [2, 1, 0, 4, 3]
+
+
+def test_cluster_boxes_stacked_lines():
+    # three stacked lines 56px apart cluster together; a far box does not
+    b = np.array(
+        [[0, 0, 200, 48], [0, 56, 200, 104], [0, 112, 200, 160], [1000, 1000, 1100, 1040]]
+    )
+    labels = geo.cluster_boxes(b, gap=12)
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] != labels[0]
+
+
+def test_comic_pipeline_spark_matches_pandas(spark):
+    pages_pdf = dg.gen_pages_geom(30, seed=11)
+    golden_groups = gk.pages_to_groups(pages_pdf)
+    golden_spans = gk.groups_to_spans(golden_groups)
+
+    pages = spark.createDataFrame(pages_pdf, schema=PAGES_GEOM_SCHEMA).repartition(4)
+    result = comic.comic_pipeline(pages)
+    got = {r["doc_id"]: r["spans"] for r in result.collect()}
+
+    assert len(got) == 30
+    for _, row in golden_spans.iterrows():
+        g = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[row.doc_id]]
+        e = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row.spans]
+        assert g == e, f"span mismatch for {row.doc_id}"
+    # invariants: reading order is 0..n-1; no rejected/low-prob text leaked
+    for spans in got.values():
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        for s in spans:
+            assert "GHOST" not in s["text"]
+            assert s["text"] != "OO"
