@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship extraction query on sf0.001.
+- ``queries()``: every implemented operator from SURVEY.md §2
+  (registry in barks_ocr_spark/plans/queries.py).
+- ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from barks_ocr_spark.plans import queries as _Q  # noqa: E402
+from barks_ocr_spark.session import ensure_shipped  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over span-ized sf0.001 docs."""
+    ensure_shipped(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    return _Q.q_extract_spans(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return inner
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in _Q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _Q.oracle_sql()

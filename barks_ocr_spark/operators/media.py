@@ -1,0 +1,148 @@
+"""Multimodal column operators: binary media + typed metadata.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct,
+processed by Arrow-batched kernels over ``mapInPandas``. The decode
+kernels are STUBBED in this sandbox (no image/audio libs): the Spark
+plumbing — schema, batch shape, partitioning, UDF signatures — is real
+and tested; ``_decode_image``/``_decode_audio`` raise
+``NotImplementedError`` unless the deterministic fake codec is requested.
+
+The fake codec ("FAKE" + width u16 + height u16 + channel byte + payload)
+lets tests exercise the full path deterministically.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_FAKE_MAGIC = b"FAKE"
+
+IMAGE_META_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, channels int, "
+    "n_bytes long, format string"
+)
+
+FEATURES_SCHEMA = "doc_id string, media_ref string, features array<float>"
+
+FRAMES_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, frame bytes".replace(
+        "bytes", "binary"
+    )
+)
+
+
+def encode_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
+    """Deterministic fake image blob for tests."""
+    rng = np.random.RandomState(seed)
+    payload = rng.randint(0, 256, size=min(width * height * channels, 4096), dtype=np.uint8)
+    return _FAKE_MAGIC + struct.pack("<HHB", width, height, channels) + payload.tobytes()
+
+
+def _decode_image(blob: bytes) -> tuple[int, int, int, bytes]:
+    """STUB: returns (width, height, channels, payload).
+
+    Real deployment: replace with PIL/cv2 decode inside the same
+    signature. Raises NotImplementedError for non-fake blobs.
+    """
+    if blob[:4] == _FAKE_MAGIC:
+        w, h, c = struct.unpack_from("<HHB", blob, 4)
+        return w, h, c, blob[9:]
+    msg = "real image decode not available in this environment (stub)"
+    raise NotImplementedError(msg)
+
+
+def image_metadata(media: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, blob) → typed metadata via a batched kernel."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, ref, blob in zip(
+                batch["doc_id"], batch["media_ref"], batch["blob"]
+            ):
+                b = bytes(blob)
+                w, h, c, _ = _decode_image(b)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "n_bytes": len(b),
+                        "format": "fake",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_ref", "blob").mapInPandas(
+        _gen, IMAGE_META_SCHEMA
+    )
+
+
+def image_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """Batched feature extraction: byte-histogram moments of the payload.
+
+    Stands in for a vision-model embedding kernel — identical plumbing
+    (binary in, float vector out, Arrow batches, model-per-executor slot).
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, ref, blob in zip(
+                batch["doc_id"], batch["media_ref"], batch["blob"]
+            ):
+                _, _, _, payload = _decode_image(bytes(blob))
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                if arr.size == 0:
+                    feats = np.zeros(n_features)
+                else:
+                    hist, _ = np.histogram(arr, bins=n_features, range=(0, 256))
+                    feats = hist / arr.size
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "features": feats.astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_ref", "blob").mapInPandas(
+        _gen, FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video-like blobs: emits every Nth
+    4-byte chunk of the payload as a 'frame'. STUB decode; real path
+    swaps in pyav/ffmpeg with the same one-to-many output shape."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, ref, blob in zip(
+                batch["doc_id"], batch["media_ref"], batch["blob"]
+            ):
+                _, _, _, payload = _decode_image(bytes(blob))
+                chunks = [payload[i : i + 4] for i in range(0, len(payload), 4)]
+                for idx in range(0, len(chunks), every_n):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_ref": ref,
+                            "frame_idx": idx,
+                            "frame": chunks[idx],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_ref", "blob").mapInPandas(
+        _gen, FRAMES_SCHEMA
+    )

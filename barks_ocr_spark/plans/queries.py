@@ -1,0 +1,833 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame, with an ANSI-SQL
+DuckDB oracle wherever the semantics are SQL-expressible.
+
+Cross-engine value-parity rules used throughout:
+- money/metric sums aggregate in DECIMAL (exact, order-independent),
+  then cast to double (deterministic) — never sum raw doubles.
+- averages = round(exact_sum_double / count, 6).
+- timestamps returned as formatted strings, never raw.
+- every computed column aliased identically in Spark and SQL.
+- top-k always carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from barks_ocr_spark.kernels import textnorm as tn
+from barks_ocr_spark.operators import (
+    dedup,
+    entities,
+    extraction,
+    index,
+    issues,
+    simsearch,
+    textstats,
+)
+
+DEC = "decimal(18,2)"
+DEC6 = "decimal(18,6)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Relational operators (SURVEY §2.3-2.6 analogues) on the TPC-H-ish tables
+# ════════════════════════════════════════════════════════════════════════
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-style per-flag rollup (TPC-H Q1 shape). Filter pushes to scan;
+    partial aggregation map-side; 6 groups → tiny shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC6)
+    disc_price = price * (F.lit(1).cast(DEC6) - disc)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + top-k (J4/A6/O4 analogue). part is a dim
+    table → explicit broadcast, no shuffle of lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC6) - F.col("l_discount").cast(DEC6)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "p_brand")
+        .limit(10)
+    )
+
+
+_SQL_TOP_BRAND = """
+SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+LIMIT 10
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filters push down; orders/lineitem
+    join shuffles on orderkey; top-10 via TakeOrdered (no full sort)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC6) - F.col("l_discount").cast(DEC6))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_SHIPPING = """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake of broadcast dims around the lineitem
+    fact; only orders⋈lineitem shuffles."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC6) - F.col("l_discount").cast(DEC6))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_SQL_LOCAL_SUPPLIER = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + rollup (O5/O6 analogue): orders with ≥1 lineitem."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (O5 set difference) + dim rollup: customers with no
+    big-ticket (>400k) order."""
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400_000)
+        .select("o_custkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+_SQL_CUST_NO_ORDERS = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/O3-style per-partition top-k via row_number window."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "rk",
+            "c_custkey",
+            F.round(F.col("c_acctbal").cast(DEC).cast("double"), 2).alias("acctbal"),
+        )
+        .orderBy("n_name", "rk")
+    )
+
+
+_SQL_TOP3_CUST = """
+SELECT n_name, rk, c_custkey,
+       ROUND(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2) AS acctbal
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer) t
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rk <= 3
+ORDER BY n_name, rk
+"""
+
+
+def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6-style running counter: cumulative spend per customer over time."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+_SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the event stream (batch view of the
+    streaming agg; see streaming/ for the readStream variant)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT event_type,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), "user_id")
+    return (
+        totals.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("event_type", "rk")
+    )
+
+
+_SQL_TOP_USERS = """
+SELECT event_type, user_id, total_value, rk FROM (
+  SELECT event_type, user_id, total_value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id) AS rk
+  FROM (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type, user_id))
+WHERE rk <= 5
+ORDER BY event_type, rk
+"""
+
+
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 dedup-by-composite-key keeping the earliest row."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+_SQL_FIRST_EVENT = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rk
+  FROM events)
+WHERE rk = 1
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON prop extraction + rollup."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_type,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Text / index / entity / issue operators on `documents`
+# ════════════════════════════════════════════════════════════════════════
+def _sql_quote(w: str) -> str:
+    return "'" + w.replace("'", "''") + "'"
+
+
+_STOP_LIST_SQL = ", ".join(_sql_quote(w) for w in sorted(tn.ALL_WORDS_TO_IGNORE))
+
+_SQL_TOKENS_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+      '—|\\.\\.\\.', ' ', 'g'), '["!=?,:;.<>/()*&%$#]', '', 'g')), '\\s+')) AS word
+  FROM documents
+)
+"""
+
+
+def q_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return index.inverted_index(docs)
+
+
+_SQL_WORD_INDEX = (
+    _SQL_TOKENS_CTE
+    + f"""
+SELECT word, doc_id, COUNT(*) AS cnt FROM toks
+WHERE word <> '' AND word NOT IN ({_STOP_LIST_SQL})
+GROUP BY word, doc_id
+"""
+)
+
+
+def q_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return index.word_doc_freq(docs).orderBy(F.desc("doc_freq"), "word").limit(50)
+
+
+_SQL_WORD_DOC_FREQ = (
+    _SQL_TOKENS_CTE
+    + f"""
+SELECT word, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_occurrences
+FROM toks WHERE word <> '' AND word NOT IN ({_STOP_LIST_SQL})
+GROUP BY word ORDER BY doc_freq DESC, word LIMIT 50
+"""
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load(spark, sf_dir, "documents"))
+
+
+_EN_LIST_SQL = ", ".join(_sql_quote(w) for w in sorted(tn.STOP_WORDS))
+
+_SQL_LANG_ID = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(ws) > 0
+    THEN CAST(len(list_filter(ws, x -> x IN ({_EN_LIST_SQL}))) AS DOUBLE) / len(ws)
+    ELSE 0.0 END AS en_ratio,
+  CASE WHEN len(ws) > 0 AND
+    CAST(len(list_filter(ws, x -> x IN ({_EN_LIST_SQL}))) AS DOUBLE) / len(ws) >= 0.2
+    THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM w
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load(spark, sf_dir, "documents"))
+
+
+_SQL_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars_m,
+  len(ws) AS n_words,
+  CASE WHEN len(ws) > 0
+    THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(ws)
+    ELSE 0.0 END AS mean_word_len,
+  CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END AS punct_ratio,
+  CASE WHEN len(ws) > 0
+    THEN CAST(len(list_filter(ws, x -> x IN ({_EN_LIST_SQL}))) AS DOUBLE) / len(ws)
+    ELSE 0.0 END AS stopword_ratio
+FROM w
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(load(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+  len(string_split_regex(trim(lower(text)), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(load(spark, sf_dir, "documents"))
+
+
+_CANON_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_SQL_FINGERPRINTS = f"SELECT doc_id, md5({_CANON_SQL}) AS fp FROM documents"
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-id copy — a corpus with guaranteed duplicates
+    for the dedup operators."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return docs.unionAll(twin)
+
+
+_SQL_DOUBLED_CTE = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+"""
+
+
+def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_doubled_docs(spark, sf_dir))
+
+
+_SQL_EXACT_DUPS = (
+    _SQL_DOUBLED_CTE
+    + f"""
+SELECT fp, n_docs, doc_ids FROM (
+  SELECT md5({_CANON_SQL}) AS fp, COUNT(*) AS n_docs,
+         list_sort(list(doc_id)) AS doc_ids
+  FROM doubled GROUP BY 1)
+WHERE n_docs > 1
+"""
+)
+
+_SQL_SHINGLES_CTE = (
+    _SQL_DOUBLED_CTE
+    + f"""
+, canon AS (
+  SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws FROM doubled
+), sh AS (
+  SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM (
+    SELECT doc_id,
+      list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                     for i in generate_series(1, greatest(len(ws)-2, 0))]) AS shingles
+    FROM canon) t(doc_id, shingles),
+    LATERAL (SELECT len(shingles) AS n_shingles) n
+  WHERE len(shingles) > 0
+)
+"""
+)
+
+_SQL_JACCARD_BODY = """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS DOUBLE) /
+          (a.n_shingles + b.n_shingles - COUNT(*)) AS jaccard
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles)
+WHERE jaccard >= 0.8
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8)
+
+
+_SQL_JACCARD_PAIRS = _SQL_SHINGLES_CTE + _SQL_JACCARD_BODY
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH proposes, exact Jaccard verifies — on this corpus the
+    ≥0.8 pairs are exactly the planted duplicates, so the exact-Jaccard
+    SQL is a complete oracle."""
+    return dedup.minhash_near_duplicates(_doubled_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucketed near-dups (hamming ≤ 3). No SQL oracle (xxhash64
+    is Spark-specific) → rows-only check; exactness is covered by pytest
+    against the planted duplicates."""
+    return dedup.simhash_near_duplicates(_doubled_docs(spark, sf_dir), max_hamming=3)
+
+
+TESTDATA_ENTITIES = {
+    "ENGINE": ["spark"],
+    "OPERATION": ["scan", "join", "filter", "sort", "merge", "agg"],
+    "OBJECT": ["table", "row", "column", "vector", "customer"],
+}
+
+
+def q_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    saved = entities.CURATED_ENTITIES
+    try:
+        entities.CURATED_ENTITIES = TESTDATA_ENTITIES
+        tagged = entities.tag_entities(docs)
+        return entities.entity_rollup(tagged)
+    finally:
+        entities.CURATED_ENTITIES = saved
+
+
+def _entities_union_sql() -> str:
+    parts = []
+    for etype, names in TESTDATA_ENTITIES.items():
+        for name in names:
+            parts.append(
+                f"SELECT doc_id, '{etype}' AS entity_type, '{name}' AS name, "
+                f"len(regexp_extract_all(lower(text), '\\b{name}\\b')) AS n_mentions "
+                f"FROM documents"
+            )
+    return " UNION ALL ".join(parts)
+
+
+_SQL_ENTITY_ROLLUP = f"""
+WITH tagged AS (
+  SELECT * FROM ({_entities_union_sql()}) WHERE n_mentions > 0
+)
+SELECT name, entity_type,
+  SUM(n_mentions) AS total_mentions,
+  COUNT(DISTINCT doc_id) AS n_docs,
+  (list_sort(list(doc_id)))[1:3] AS examples
+FROM tagged GROUP BY name, entity_type
+ORDER BY total_mentions DESC, name
+"""
+
+
+def q_issue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issue predicates over a deterministically dash-planted corpus
+    (the raw corpus contains no dashes — the plant makes the checks
+    observable; both engines apply the identical transform)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" slow "), F.lit("—")).alias("text"),
+    )
+    return issues.issue_histogram(issues.detect_issues(docs))
+
+
+_SQL_ISSUE_HISTOGRAM = """
+WITH planted AS (
+  SELECT doc_id, replace(text, ' slow ', '—') AS text FROM documents
+), fired AS (
+  SELECT doc_id, 'short_text' AS issue_type FROM planted
+    WHERE length(trim(text)) = 1 AND lower(trim(text)) NOT IN ('?', '!')
+  UNION ALL
+  SELECT doc_id, 'dash_wrong_space' FROM planted
+    WHERE regexp_matches(trim(text), '—\\s+[!?]|[!?]\\s+—')
+  UNION ALL
+  SELECT doc_id, 'dash_no_spaces' FROM planted
+    WHERE regexp_matches(trim(text), '[a-zA-Z]—[a-zA-Z]')
+  UNION ALL
+  SELECT doc_id, 'empty_text' FROM planted WHERE length(trim(text)) = 0
+  UNION ALL
+  SELECT doc_id, 'very_long' FROM planted WHERE length(trim(text)) > 100000
+)
+SELECT issue_type, COUNT(*) AS n FROM fired
+GROUP BY issue_type ORDER BY n DESC, issue_type
+"""
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Similarity search on `embeddings`
+# ════════════════════════════════════════════════════════════════════════
+_QUERY_VEC_ID = 0
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return simsearch.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+_SQL_TOPK_COSINE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+SELECT vec_id,
+  ROUND(
+    list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])),
+                            x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+       * sqrt(list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)))), 6) AS score
+FROM embeddings, q
+WHERE vec_id <> {_QUERY_VEC_ID}
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH pruned ANN top-k — rows-only check (recall vs brute force
+    asserted in pytest instead)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return simsearch.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: posexplode + exact decimal mean per dimension."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    # floor-of-micro-units: float→double is exact, the *1e6 product is the
+    # same IEEE double in both engines, and floor has no tie-breaking —
+    # unlike decimal casts, whose half-rounding differs across engines.
+    micro = F.floor(F.col("v").cast("double") * 1_000_000).cast("long")
+    # No final round: integer micro-sum / count / 1e6 is the same IEEE
+    # double in both engines; rounding would re-introduce half-tie
+    # divergence (Spark half-away vs DuckDB half-even).
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            (F.sum(micro).cast("double") / F.count("*") / 1_000_000).alias("centroid_v")
+        )
+    )
+
+
+_SQL_CENTROIDS = """
+SELECT label, i - 1 AS dim,
+  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1000000 AS centroid_v
+FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+GROUP BY label, i
+"""
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Flagship extraction on a span-ized view of `documents`
+# ════════════════════════════════════════════════════════════════════════
+def _spanized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically split each flat document into 8-word text spans —
+    the interleaved-docs input shape, derived from driver data."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)).alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction pipeline over span-ized driver documents.
+
+    On this corpus (no terminal punctuation → every span is open, no
+    planted noise) the pipeline provably reduces to merge-all + casing +
+    whitespace collapse, giving an exact SQL oracle for the end-to-end
+    Spark job — a differential test of the whole mapInPandas path.
+    """
+    result = extraction.extract(_spanized_docs(spark, sf_dir))
+    return result.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+_SQL_EXTRACT_SPANS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  'text' AS kind,
+  upper(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+  '' AS media_ref,
+  0 AS offset
+FROM documents
+WHERE length(trim(text)) > 0
+"""
+
+
+# ════════════════════════════════════════════════════════════════════════
+# Registry
+# ════════════════════════════════════════════════════════════════════════
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "top_brand_revenue": (q_top_brand_revenue, _SQL_TOP_BRAND),
+    "shipping_priority": (q_shipping_priority, _SQL_SHIPPING),
+    "local_supplier_volume": (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER),
+    "order_priority": (q_order_priority, _SQL_ORDER_PRIORITY),
+    "customers_without_orders": (q_customers_without_orders, _SQL_CUST_NO_ORDERS),
+    "top3_customers_per_nation": (q_top3_customers_per_nation, _SQL_TOP3_CUST),
+    "running_order_total": (q_running_order_total, _SQL_RUNNING_TOTAL),
+    "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
+    "top_users_per_event_type": (q_top_users_per_event_type, _SQL_TOP_USERS),
+    "first_event_per_user": (q_first_event_per_user, _SQL_FIRST_EVENT),
+    "events_json_props": (q_events_json_props, _SQL_EVENTS_JSON),
+    "word_index": (q_word_index, _SQL_WORD_INDEX),
+    "word_doc_freq": (q_word_doc_freq, _SQL_WORD_DOC_FREQ),
+    "lang_id": (q_lang_id, _SQL_LANG_ID),
+    "quality_scores": (q_quality_scores, _SQL_QUALITY),
+    "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
+    "fingerprints": (q_fingerprints, _SQL_FINGERPRINTS),
+    "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
+    "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
+    "minhash_dups": (q_minhash_dups, _SQL_JACCARD_PAIRS),
+    "simhash_dups": (q_simhash_dups, None),
+    "entity_rollup": (q_entity_rollup, _SQL_ENTITY_ROLLUP),
+    "issue_histogram": (q_issue_histogram, _SQL_ISSUE_HISTOGRAM),
+    "topk_cosine": (q_topk_cosine, _SQL_TOPK_COSINE),
+    "lsh_topk": (q_lsh_topk, None),
+    "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
+    "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

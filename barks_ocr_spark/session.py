@@ -31,6 +31,19 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
     return dest
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to an externally-created session's executors."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    sc.addPyFile(build_pyfiles_zip())
+    _SHIPPED.add(key)
+
+
 def get_spark(
     app_name: str = "barks-ocr-spark",
     master: str | None = None,

@@ -1,0 +1,92 @@
+"""Dedup + similarity-search operator correctness on planted data."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from barks_ocr_spark.operators import dedup, simsearch
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat tonight"),   # near dup of 1
+        (4, "completely different text about spark query engines here"),
+        (5, "Thé QUICK   brown fox, jumps over the lazy dog tonight"),  # canon dup of 1? (é differs)
+        (6, "spark engines rule the data world"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(spark):
+    out = dedup.exact_duplicates(_corpus(spark)).collect()
+    groups = {tuple(r["doc_ids"]) for r in out}
+    assert (1, 2) in groups
+    assert all(5 not in g for g in groups)  # 'é' canonicalizes differently
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_finds_planted_dups(spark):
+    out = dedup.minhash_near_duplicates(_corpus(spark), threshold=0.8).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    out = dedup.simhash_near_duplicates(_corpus(spark), max_hamming=3).collect()
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert ham[(1, 2)] == 0
+
+
+def test_hot_shingle_cap_drops_boilerplate(spark):
+    docs = _corpus(spark)
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_freq=1)
+    # every shingle shared by >1 doc is dropped → no pairs survive
+    assert capped.count() == 0
+
+
+def _embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+
+def test_brute_force_topk(spark):
+    out = simsearch.brute_force_topk(_embeddings(spark), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] in (0, 3) and ids[1] in (0, 3)  # perfect matches first
+    assert out[0]["score"] == 1.0
+    assert ids[2] == 1
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = _embeddings(spark)
+    q = [1.0, 0.0, 0.0, 0.0]
+    bf = [r["vec_id"] for r in simsearch.brute_force_topk(emb, q, k=3).collect()]
+    approx = [r["vec_id"] for r in simsearch.lsh_topk(emb, q, k=3, max_hamming=16).collect()]
+    # with the full hamming budget LSH degrades to exact
+    assert approx == bf
+
+
+def test_cosine_pairs_identical_vectors(spark):
+    out = simsearch.cosine_pairs(_embeddings(spark), threshold=0.95).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["score"] for r in out}
+    assert pairs[(0, 3)] == 1.0
+    assert all(not (a == 0 and b == 4) for a, b in pairs)  # opposite vector

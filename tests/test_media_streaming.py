@@ -1,0 +1,114 @@
+"""Multimodal plumbing + structured-streaming extraction."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from barks_ocr_spark.datagen import docs as dg
+from barks_ocr_spark.kernels import spans as sk
+from barks_ocr_spark.operators import media
+from barks_ocr_spark.schemas import DOCUMENTS_SPANS_SCHEMA
+from barks_ocr_spark.streaming import incremental
+
+
+def _media_df(spark):
+    rows = [
+        ("d1", "img1.png", media.encode_fake_image(640, 480, 3, seed=1)),
+        ("d2", "img2.png", media.encode_fake_image(100, 50, 1, seed=2)),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media_ref", "blob"])
+    )
+
+
+def test_image_metadata(spark):
+    out = {r["media_ref"]: r for r in media.image_metadata(_media_df(spark)).collect()}
+    assert out["img1.png"]["width"] == 640
+    assert out["img1.png"]["height"] == 480
+    assert out["img2.png"]["channels"] == 1
+    assert out["img1.png"]["n_bytes"] > 9
+
+
+def test_image_features_deterministic(spark):
+    a = media.image_features(_media_df(spark)).collect()
+    b = media.image_features(_media_df(spark)).collect()
+    fa = {r["media_ref"]: r["features"] for r in a}
+    fb = {r["media_ref"]: r["features"] for r in b}
+    assert fa == fb
+    assert len(fa["img1.png"]) == 8
+    assert abs(sum(fa["img1.png"]) - 1.0) < 1e-5
+
+
+def test_frame_sampling(spark):
+    out = media.sample_frames(_media_df(spark), every_n=3).collect()
+    assert all(r["frame_idx"] % 3 == 0 for r in out)
+    assert len(out) > 0
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        media._decode_image(b"\x89PNG....")
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    docs_pdf = dg.gen_documents(80, seed=17)
+    flat = sk.flatten(docs_pdf)
+    rep = sk.repeating_headings_from_flat(flat)
+    golden = sk.nest(sk.extract_flat(flat, rep), docs_pdf["doc_id"])
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(docs_pdf, schema=DOCUMENTS_SPANS_SCHEMA).repartition(
+        4
+    ).write.parquet(in_dir)
+
+    stream = incremental.stream_extraction(spark, in_dir, rep, max_files_per_trigger=2)
+    assert stream.isStreaming
+    incremental.run_stream_to_parquet(stream, out_dir, ckpt)
+
+    got = {r["doc_id"]: r["spans"] for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 80
+    for _, row in golden.iterrows():
+        g = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[row.doc_id]]
+        e = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row.spans]
+        assert g == e
+
+    # exactly-once: re-running the stream with the same checkpoint adds nothing
+    stream2 = incremental.stream_extraction(spark, in_dir, rep)
+    incremental.run_stream_to_parquet(stream2, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 80
+
+
+def test_streaming_event_counts(spark, tmp_path):
+    in_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 11:05"]
+                ),
+                "user_id": [1, 1, 2],
+                "event_type": ["click", "click", "view"],
+                "value": [1.0, 2.0, 3.0],
+                "props": ["{}", "{}", "{}"],
+            }
+        )
+    ).write.parquet(in_dir)
+    agg = incremental.stream_event_counts(spark, in_dir, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("evcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from evcounts").collect()
+    }
+    assert rows[("2024-01-01 10:00:00", "click")] == 2
+    assert rows[("2024-01-01 11:00:00", "view")] == 1
