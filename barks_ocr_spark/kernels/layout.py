@@ -1,0 +1,129 @@
+"""Layout kernels: line rewrap, text-fit estimation, column split,
+blockquote indent detection (SURVEY.md T11/T12/W3/W4).
+
+Pure pandas/numpy, consumed via Arrow-batched UDFs on the Spark side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# T12 constants — src/barks_ocr/tools/ocr_check.py:33-38
+FONT_HEIGHT_FACTOR = 0.75
+MIN_FONT_SIZE = 8
+WIDTH_TOLERANCE = 1.5
+WIDTH_TOLERANCE_LOOSE = 4.0  # sound effects / background text
+
+# Deterministic per-char width table (em units ×1000) standing in for
+# real font metrics — monospace-ish with narrow/wide classes so the
+# fit check exercises real variance.
+_NARROW = set("iljtf!.,;:'|")
+_WIDE = set("MWmw@")
+
+
+def _char_width_units(ch: str) -> int:
+    if ch in _NARROW:
+        return 400
+    if ch in _WIDE:
+        return 1000
+    if ch == " ":
+        return 500
+    return 700
+
+
+def rendered_width(text: str, font_size: float) -> float:
+    """Deterministic rendered line width in px."""
+    return sum(_char_width_units(c) for c in text) / 1000.0 * font_size
+
+
+def rewrap_to_pattern(text: str, pattern: str) -> str:
+    """T11: re-wrap ``text`` so each line carries the word counts of
+    ``pattern``'s lines; the last pattern line absorbs the remainder
+    (`src/barks_ocr/tools/ocr_check.py:156-182`)."""
+    words = text.split()
+    counts = [len(line.split()) for line in pattern.split("\n") if line.strip()]
+    if not counts or not words:
+        return text
+    out, i = [], 0
+    for j, c in enumerate(counts):
+        if i >= len(words):
+            break
+        if j == len(counts) - 1:
+            out.append(" ".join(words[i:]))
+            i = len(words)
+        else:
+            out.append(" ".join(words[i : i + c]))
+            i += c
+    if i < len(words):
+        out[-1] = out[-1] + " " + " ".join(words[i:])
+    return "\n".join(out)
+
+
+def text_fits_box(
+    text: str,
+    box_w: int,
+    box_h: int,
+    loose: bool = False,
+) -> bool:
+    """T12: estimated font size from box height and line count; fits when
+    the widest rendered line ≤ box_w × tolerance
+    (`src/barks_ocr/tools/ocr_check.py:75-153`, constants `:33-38`)."""
+    lines = [ln for ln in text.split("\n") if ln.strip()] or [text]
+    font_size = max(box_h / len(lines) * FONT_HEIGHT_FACTOR, MIN_FONT_SIZE)
+    tol = WIDTH_TOLERANCE_LOOSE if loose else WIDTH_TOLERANCE
+    widest = max(rendered_width(ln, font_size) for ln in lines)
+    return widest <= box_w * tol
+
+
+def rewrap_series(texts: pd.Series, patterns: pd.Series) -> pd.Series:
+    return pd.Series(
+        [rewrap_to_pattern(t or "", p or "") for t, p in zip(texts, patterns)],
+        index=texts.index,
+    )
+
+
+def fits_series(
+    texts: pd.Series, ws: pd.Series, hs: pd.Series, loose: pd.Series | None = None
+) -> pd.Series:
+    loose_vals = loose if loose is not None else pd.Series(False, index=texts.index)
+    return pd.Series(
+        [
+            text_fits_box(t or "", int(w), int(h), bool(lo))
+            for t, w, h, lo in zip(texts, ws, hs, loose_vals)
+        ],
+        index=texts.index,
+    )
+
+
+# ── W3/W4: column split + blockquote indent (books pipeline) ────────────
+# Constants from books/src/llama-parse-build-epub.py:255-277.
+COLUMN_SPLIT_MIN_JUMP_PT = 100.0
+COLUMN_SPLIT_PAGE_FRACTION = 0.30
+BLOCKQUOTE_INDENT_PT = 15.0
+
+
+def split_columns(xs: np.ndarray, page_width: float) -> np.ndarray:
+    """W3: column label per item — a new column starts when consecutive
+    items' x jumps by ≥ min(100pt, 0.30·page_width)
+    (`books/src/llama-parse-build-epub.py:279-360`)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    if xs.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    thresh = min(COLUMN_SPLIT_MIN_JUMP_PT, COLUMN_SPLIT_PAGE_FRACTION * page_width)
+    jumps = np.zeros(xs.size, dtype=bool)
+    jumps[1:] = (xs[1:] - xs[:-1]) >= thresh
+    return np.cumsum(jumps).astype(np.int64)
+
+
+def blockquote_flags(xs: np.ndarray, columns: np.ndarray) -> np.ndarray:
+    """W4: items indented ≥15pt beyond their column's median left-x are
+    blockquotes (`books/src/llama-parse-build-epub.py:481-512`)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    columns = np.asarray(columns, dtype=np.int64)
+    out = np.zeros(xs.size, dtype=bool)
+    for col in np.unique(columns):
+        m = columns == col
+        med = np.median(xs[m])
+        out[m] = xs[m] >= med + BLOCKQUOTE_INDENT_PT
+    return out

@@ -1,0 +1,128 @@
+"""Cross-engine differential comparison (SURVEY.md J4/J5/J6/W7/T17/A3).
+
+The reference's primary correctness tool: EasyOCR vs PaddleOCR outputs
+compared page-by-page, panel-by-panel, group-by-group with
+SequenceMatcher (`src/barks_ocr/tools/compare.py:55-206`), plus a
+best-fuzzy-match join (`src/barks_ocr/tools/ocr_check.py:185-218`,
+ratio ≥ 0.7 at `:39`). Here both engines' outputs are group tables
+``(doc_id, panel_num, pos, text)`` and the comparison is:
+
+  J4  inner join on doc_id — pages present in both engines
+  J5  positional pairing: full outer join on (doc_id, panel_num, pos);
+      a side missing → engine-only mismatch
+  T17 similarity: difflib.SequenceMatcher.ratio in an Arrow-batched
+      pandas UDF (the one legitimately-Python kernel: stdlib difflib,
+      exactly the reference's scorer)
+  W7  top-1 fuzzy match per group via row_number window
+  A3  per-doc match counters
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+FUZZY_MATCH_THRESHOLD = 0.7  # tools/ocr_check.py:39
+
+_RATIO_UDF = None
+
+
+def similarity_ratio(a: Column, b: Column) -> Column:
+    """difflib.SequenceMatcher.ratio, vectorized over Arrow batches
+    (`tools/compare.py:184-185`). None on either side → 0.0.
+
+    The pandas_udf is built lazily: decorating at import time parses the
+    DDL return type, which requires an active SparkContext.
+    """
+    global _RATIO_UDF
+    if _RATIO_UDF is None:
+
+        def _ratio_batch(x: pd.Series, y: pd.Series) -> pd.Series:
+            from difflib import SequenceMatcher
+
+            def ratio(p: str | None, q: str | None) -> float:
+                if not p or not q:
+                    return 0.0
+                return SequenceMatcher(None, p, q).ratio()
+
+            return pd.Series([ratio(p, q) for p, q in zip(x, y)])
+
+        _RATIO_UDF = pandas_udf(_ratio_batch, "double")
+    return _RATIO_UDF(a, b)
+
+
+def positional_compare(engine_a: DataFrame, engine_b: DataFrame) -> DataFrame:
+    """J5: full outer join on (doc_id, panel_num, pos) with similarity.
+
+    Output: (doc_id, panel_num, pos, text_a, text_b, ratio, status)
+    where status ∈ {match, mismatch, a_only, b_only}; match = ratio 1.0
+    (the reference's 'perfect match', compare.py:186-191).
+    """
+    a = engine_a.select(
+        "doc_id", "panel_num", "pos", F.col("text").alias("text_a")
+    )
+    b = engine_b.select(
+        "doc_id", "panel_num", "pos", F.col("text").alias("text_b")
+    )
+    joined = a.join(b, ["doc_id", "panel_num", "pos"], "full_outer")
+    ratio = similarity_ratio(F.col("text_a"), F.col("text_b"))
+    status = (
+        F.when(F.col("text_a").isNull(), F.lit("b_only"))
+        .when(F.col("text_b").isNull(), F.lit("a_only"))
+        .when(F.col("ratio") == 1.0, F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return joined.withColumn("ratio", ratio).withColumn("status", status)
+
+
+def compare_counters(compared: DataFrame) -> DataFrame:
+    """A3: per-doc counters (perfect matches, mismatches, engine-only)
+    (`tools/compare.py:115-126, 279-299`)."""
+    return compared.groupBy("doc_id").agg(
+        F.count("*").alias("groups_compared"),
+        F.sum((F.col("status") == "match").cast("int")).alias("perfect_matches"),
+        F.sum((F.col("status") == "mismatch").cast("int")).alias("mismatches"),
+        F.sum(F.col("status").isin("a_only", "b_only").cast("int")).alias("engine_only"),
+    )
+
+
+def best_fuzzy_match(
+    engine_a: DataFrame,
+    engine_b: DataFrame,
+    threshold: float = FUZZY_MATCH_THRESHOLD,
+) -> DataFrame:
+    """J6+W7: for each group in A, the best-ratio B group in the same
+    (doc, panel), kept when ratio ≥ threshold (`tools/ocr_check.py:
+    185-218`). Equi-join on (doc, panel) then top-1 per A-group by
+    (ratio desc, pos_b) window."""
+    a = engine_a.select(
+        "doc_id", "panel_num", F.col("pos").alias("pos_a"), F.col("text").alias("text_a")
+    )
+    b = engine_b.select(
+        "doc_id", "panel_num", F.col("pos").alias("pos_b"), F.col("text").alias("text_b")
+    )
+    cand = a.join(b, ["doc_id", "panel_num"]).withColumn(
+        "ratio", similarity_ratio(F.col("text_a"), F.col("text_b"))
+    )
+    w = Window.partitionBy("doc_id", "panel_num", "pos_a").orderBy(
+        F.desc("ratio"), "pos_b"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("ratio") >= threshold))
+        .drop("rk")
+    )
+
+
+def mismatch_queue(compared: DataFrame) -> DataFrame:
+    """The repair-queue sink: deduped, sorted mismatch lines
+    (`tools/compare.py:230-242`)."""
+    return (
+        compared.filter(F.col("status") != "match")
+        .select("doc_id", "panel_num", "pos", "status")
+        .dropDuplicates(["doc_id", "panel_num", "pos"])
+        .orderBy("doc_id", "panel_num", "pos")
+    )

@@ -45,9 +45,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the canonical text (array<string>)."""
-    words = F.split(canonical_text(text), " ")
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* words column.
+
+    IMPORTANT: ``words`` must be a resolved column (not an expression
+    tree): Catalyst's projection collapse inlines whatever expression is
+    passed here into every per-position lambda, turning an O(len) shingle
+    build into O(len × cost(words-expr)) — measured 46s vs 1.5s on 10k
+    docs when the canonicalize+split pipeline was inlined.
+    """
     k = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
     return F.array_distinct(
@@ -55,11 +61,29 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingles:array<string>) with the words stage materialized
+    behind a cache barrier so the canonical/split pipeline runs once per
+    row (see shingles_from_words). The barrier is an explicit persist —
+    the Spark equivalent of writing the tokenized intermediate to a table
+    in a multi-stage corpus job."""
+    words_df = docs.select(
+        "doc_id", F.split(canonical_text(F.col(text_col)), " ").alias("_words")
+    ).persist()
+    return words_df.select(
+        "doc_id", shingles_from_words(F.col("_words"), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Single-expression shingle column (convenience; prefer
+    :func:`doc_shingles` in any plan that scans real data volumes)."""
+    return shingles_from_words(F.split(canonical_text(text), " "), n)
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle, n_shingles) exploded inverted-index rows."""
-    with_sh = docs.select(
-        "doc_id", shingles_col(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    with_sh = doc_shingles(docs, text_col, n)
     return with_sh.select(
         "doc_id",
         F.size("shingles").alias("n_shingles"),
@@ -192,22 +216,29 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs, verified exactly: LSH proposes,
-    n-gram Jaccard disposes. Output: (doc_a, doc_b, jaccard)."""
+    """MinHash-LSH near-dup pairs, verified exactly: LSH proposes a small
+    candidate set, then Jaccard is computed pairwise on candidates only —
+    never the full shingle self-join. Output: (doc_a, doc_b, jaccard).
+
+    Scale shape: the candidate table is tiny relative to the corpus, so
+    the verify stage is two doc_id-keyed joins to attach each side's
+    shingle array + an intra-row ``array_intersect`` — shuffle volume is
+    O(candidates), not O(docs sharing a shingle)."""
     sigs = minhash_signatures(docs, text_col, n, k)
     cand = minhash_lsh_candidates(sigs, bands, k // bands)
-    sh = shingle_table(docs, text_col, n).persist()
-    sh.count()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+    doc_sh = doc_shingles(docs, text_col, n)
+    a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    pairs = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+        F.size("sh_a").alias("n_a"),
+        F.size("sh_b").alias("n_b"),
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -34,16 +34,51 @@ from barks_ocr_spark.schemas import DOCUMENTS_SPANS_SCHEMA
 
 _CANDIDATE_SCHEMA = "doc_id string, variant string"
 
+# JVM translations of the kernels/textnorm boilerplate predicates —
+# anchored Java-regex forms of the same patterns (parity guarded by the
+# Spark-vs-golden e2e tests, which compute the repeating set through the
+# pandas kernel and require byte-identical final spans).
+_PAGE_NUM_TOKEN = r"(?:[ivxlcdmIVXLCDM]{1,8}|\d{1,3})"
+_HEADER_SHAPE_RE = rf"^(?:{_PAGE_NUM_TOKEN}\s+\S.*|\S.*\s+{_PAGE_NUM_TOKEN})$"
+
 
 def heading_candidates(docs: DataFrame) -> DataFrame:
-    """(doc_id, variant) candidate pairs, via the shared pandas kernel."""
+    """(doc_id, variant) candidate pairs — pure JVM expressions.
 
-    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            flat = span_kernel.flatten(batch)
-            yield span_kernel.heading_variant_candidates(flat)
-
-    return docs.select("doc_id", "spans").mapInPandas(_gen, _CANDIDATE_SCHEMA)
+    This pass touches every span of every document, so it must scale like
+    a scan: explode + rlike keeps it inside whole-stage codegen with no
+    Python workers (the earlier mapInPandas variant pinned ~13s of
+    Arrow+pandas flatten cost per run that did not parallelize away).
+    """
+    t = F.trim(F.col("s.text"))
+    header_shape = t.rlike(_HEADER_SHAPE_RE)
+    all_caps = (
+        t.rlike("[A-Za-z]") & ~t.rlike("[a-z]")
+    )
+    candidate = (
+        (F.length(t) > 0)
+        & (F.length(t) <= tn.MAX_RUNNING_HEADER_LEN)
+        & (header_shape | all_caps)
+        & ~t.startswith(tn.REPRINTED_PREFIX)
+        & t.rlike("[A-Za-z]")
+    )
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, rf"^{_PAGE_NUM_TOKEN}\s+", ""),
+            rf"\s+{_PAGE_NUM_TOKEN}$",
+            "",
+        )
+    )
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "text") & candidate)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.array(t, stripped))).alias("variant"),
+        )
+        .filter(F.length("variant") > 0)
+        .dropDuplicates(["doc_id", "variant"])
+    )
 
 
 def repeating_headings(docs: DataFrame) -> DataFrame:

@@ -667,6 +667,170 @@ GROUP BY issue_type ORDER BY n DESC, issue_type
 
 
 # ════════════════════════════════════════════════════════════════════════
+# Cross-engine compare (J4/J5/J6/T17/A3) on synthetic dual-engine groups
+# ════════════════════════════════════════════════════════════════════════
+def _engine_groups(spark: SparkSession, sf_dir: str, perturb: bool) -> DataFrame:
+    """Deterministic 'OCR engine' output: each document's 8-word chunks as
+    groups (doc_id, panel_num, pos, text). The perturbed engine drops
+    every doc's last group when doc_id % 7 == 0 and uppercases the first
+    group when doc_id % 5 == 0 — planted mismatches for the comparator."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)))
+    g = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    ).select(
+        "doc_id",
+        F.lit(1).alias("panel_num"),
+        "pos",
+        F.col("chunk").alias("text"),
+    )
+    if not perturb:
+        return g
+    # drop last group for doc_id % 7 == 0
+    maxpos = g.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
+    g = g.join(maxpos, "doc_id").filter(
+        ~((F.col("doc_id") % 7 == 0) & (F.col("pos") == F.col("max_pos")))
+    ).drop("max_pos")
+    # perturb first group for doc_id % 5 == 0
+    return g.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 5 == 0) & (F.col("pos") == 0),
+            F.upper(F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_compare_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine differential compare → per-doc counters. Ratio==1.0
+    ⟺ string equality, so the counters have an exact SQL oracle even
+    though the similarity scorer itself is difflib."""
+    a = _engine_groups(spark, sf_dir, perturb=False)
+    b = _engine_groups(spark, sf_dir, perturb=True)
+    from barks_ocr_spark.operators import compare
+
+    return compare.compare_counters(compare.positional_compare(a, b)).orderBy("doc_id")
+
+
+_SQL_COMPARE = """
+WITH chunks AS (
+  SELECT doc_id, i - 1 AS pos,
+    array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    unnest(generate_series(1, greatest(CAST(ceil(len(ws)/8.0) AS INT), 1))) AS t(i)
+), b AS (
+  SELECT doc_id, pos,
+    CASE WHEN doc_id % 5 = 0 AND pos = 0 THEN upper(text) ELSE text END AS text
+  FROM chunks c
+  WHERE NOT (doc_id % 7 = 0
+             AND pos = (SELECT max(pos) FROM chunks c2 WHERE c2.doc_id = c.doc_id))
+), joined AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.text AS text_a, b.text AS text_b
+  FROM chunks a FULL OUTER JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+)
+SELECT doc_id,
+  COUNT(*) AS groups_compared,
+  SUM(CASE WHEN text_a = text_b THEN 1 ELSE 0 END) AS perfect_matches,
+  SUM(CASE WHEN text_a IS NOT NULL AND text_b IS NOT NULL AND text_a <> text_b
+      THEN 1 ELSE 0 END) AS mismatches,
+  SUM(CASE WHEN text_a IS NULL OR text_b IS NULL THEN 1 ELSE 0 END) AS engine_only
+FROM joined GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 top-1 fuzzy match (difflib scorer → rows-only check; exactness
+    covered by pytest fixtures)."""
+    from barks_ocr_spark.operators import compare
+
+    a = _engine_groups(spark, sf_dir, perturb=False)
+    b = _engine_groups(spark, sf_dir, perturb=True)
+    return compare.best_fuzzy_match(a, b)
+
+
+def q_entity_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 corrections overlay: deterministic corrections derived from the
+    tagged set (remove 'spark' rows on even docs, add a curated name on
+    docs ending in 3, replace OPERATION set on docs ending in 9)."""
+    docs = load(spark, sf_dir, "documents")
+    saved = entities.CURATED_ENTITIES
+    try:
+        entities.CURATED_ENTITIES = TESTDATA_ENTITIES
+        tagged = entities.tag_entities(docs)
+    finally:
+        entities.CURATED_ENTITIES = saved
+    ids = docs.select("doc_id")
+    corrections = (
+        ids.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.lit("ENGINE").alias("entity_type"),
+            F.lit("spark").alias("name"),
+            F.lit("remove").alias("action"),
+        )
+        .unionAll(
+            ids.filter(F.col("doc_id") % 10 == 3).select(
+                "doc_id",
+                F.lit("PERSON").alias("entity_type"),
+                F.lit("carl").alias("name"),
+                F.lit("add").alias("action"),
+            )
+        )
+        .unionAll(
+            ids.filter(F.col("doc_id") % 10 == 9).select(
+                "doc_id",
+                F.lit("OPERATION").alias("entity_type"),
+                F.lit("curated op").alias("name"),
+                F.lit("replace").alias("action"),
+            )
+        )
+    )
+    out = entities.apply_corrections(tagged, corrections)
+    return out.groupBy("entity_type", "name").agg(
+        F.count("*").alias("n_docs"), F.sum("n_mentions").alias("total_mentions")
+    )
+
+
+_SQL_ENTITY_CORRECTIONS = f"""
+WITH tagged AS (
+  SELECT * FROM ({_entities_union_sql()}) WHERE n_mentions > 0
+), kept AS (
+  SELECT * FROM tagged
+  WHERE NOT (entity_type = 'ENGINE' AND name = 'spark' AND doc_id % 2 = 0)
+    AND NOT (entity_type = 'OPERATION' AND doc_id % 10 = 9)
+), added AS (
+  SELECT doc_id, 'PERSON' AS entity_type, 'carl' AS name, 1 AS n_mentions
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, 'OPERATION', 'curated op', 1 FROM documents WHERE doc_id % 10 = 9
+)
+SELECT entity_type, name, COUNT(*) AS n_docs, SUM(n_mentions) AS total_mentions
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM added)
+GROUP BY entity_type, name
+"""
+
+
+def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 search-the-index analogue: term lookup, highest count first."""
+    docs = load(spark, sf_dir, "documents")
+    return index.search(index.inverted_index(docs), "spark")
+
+
+_SQL_INDEX_SEARCH = (
+    _SQL_TOKENS_CTE
+    + f"""
+SELECT word, doc_id, COUNT(*) AS cnt FROM toks
+WHERE word = 'spark' AND word NOT IN ({_STOP_LIST_SQL})
+GROUP BY word, doc_id
+ORDER BY cnt DESC, doc_id
+"""
+)
+
+
+# ════════════════════════════════════════════════════════════════════════
 # Similarity search on `embeddings`
 # ════════════════════════════════════════════════════════════════════════
 _QUERY_VEC_ID = 0
@@ -791,6 +955,42 @@ WHERE length(trim(text)) > 0
 
 
 # ════════════════════════════════════════════════════════════════════════
+# Comic-page + media pipelines on datagen fixtures (binary-kernel paths;
+# non-SQL-expressible → rows-only checks, exactness covered by pytest)
+# ════════════════════════════════════════════════════════════════════════
+def q_comic_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-image bytes → OCR decode → grouping → ordered spans."""
+    from barks_ocr_spark.datagen import docs as dg
+    from barks_ocr_spark.operators import comic
+    from barks_ocr_spark.schemas import PAGES_GEOM_SCHEMA
+
+    pages = spark.createDataFrame(
+        dg.gen_pages_geom(100, seed=11), schema=PAGES_GEOM_SCHEMA
+    )
+    result = comic.comic_pipeline(pages)
+    return result.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → batched feature-extraction kernel."""
+    import pandas as pd
+
+    from barks_ocr_spark.operators import media
+
+    rows = [
+        (f"m{i}", f"img{i}.png", media.encode_fake_image(64 + i, 32 + i, 3, seed=i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media_ref", "blob"])
+    )
+    feats = media.image_features(df)
+    return feats.select("doc_id", "media_ref", F.posexplode("features").alias("dim", "v"))
+
+
+# ════════════════════════════════════════════════════════════════════════
 # Registry
 # ════════════════════════════════════════════════════════════════════════
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -822,6 +1022,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lsh_topk": (q_lsh_topk, None),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
+    "compare_counters": (q_compare_counters, _SQL_COMPARE),
+    "best_fuzzy_match": (q_best_fuzzy_match, None),
+    "entity_corrections": (q_entity_corrections, _SQL_ENTITY_CORRECTIONS),
+    "index_search": (q_index_search, _SQL_INDEX_SEARCH),
+    "comic_spans": (q_comic_spans, None),
+    "media_features": (q_media_features, None),
 }
 
 
