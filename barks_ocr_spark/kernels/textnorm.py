@@ -155,6 +155,37 @@ def has_rejected_token(s: pd.Series) -> pd.Series:
     return s.fillna("").map(_any_rejected)
 
 
+def spell_suggest(s: pd.Series, dictionary: frozenset[str]) -> pd.Series:
+    """F4: unknown word → first close dictionary suggestion, else keep.
+
+    Mirrors `src/barks_ocr/pipeline/batch_ocr.py:163-179` (`word_is_ok`):
+    a word passes if it is in the dictionary (directly or with one
+    trailing char of ``).!;?,``); otherwise the first suggestion is
+    taken; with no suggestions the word is kept. The reference's enchant
+    suggester is replaced by stdlib ``difflib.get_close_matches`` over
+    the broadcast dictionary — deterministic and dependency-free.
+    """
+    from difflib import get_close_matches
+
+    words_sorted = sorted(dictionary)
+
+    def _fix_word(w: str) -> str:
+        if not w:
+            return w
+        core, tail = w, ""
+        if w[-1] in TRAILING_PUNCT and len(w) > 1:
+            core, tail = w[:-1], w[-1]
+        if w in dictionary or core in dictionary:
+            return w
+        close = get_close_matches(w, words_sorted, n=1, cutoff=0.75)
+        return close[0] + tail if close else w
+
+    def _fix(t: str) -> str:
+        return " ".join(_fix_word(w) for w in t.split(" "))
+
+    return s.fillna("").map(_fix)
+
+
 # ════════════════════════════════════════════════════════════════════════
 # Curly quotes (T14)
 # ════════════════════════════════════════════════════════════════════════

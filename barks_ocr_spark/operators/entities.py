@@ -64,6 +64,42 @@ def tag_entities(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return result
 
 
+# Context-sensitive rules (the deterministic analogue of
+# `src/barks_ocr/pipeline/entity_tagger.py:125-142`): a cue word
+# introduces a candidate entity from its textual context.
+CONTEXT_RULES: list[tuple[str, str]] = [
+    # "uncle X" → CHARACTER X (e.g. "uncle scrooge")
+    ("CHARACTER", r"\buncle\s+([a-z]+)"),
+    # "the X bin" → PLACE "X bin"
+    ("PLACE", r"\bthe\s+([a-z]+\s+bin)\b"),
+]
+
+
+def tag_entities_by_context(
+    docs: DataFrame,
+    text_col: str = "text",
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(doc_id, entity_type, name, n_mentions) from context-rule matches."""
+    lower = F.lower(F.col(text_col))
+    parts = []
+    for etype, pat in rules if rules is not None else CONTEXT_RULES:
+        names = F.regexp_extract_all(lower, F.lit(pat), 1)
+        parts.append(
+            docs.select(
+                "doc_id",
+                F.lit(etype).alias("entity_type"),
+                F.explode(names).alias("name"),
+            )
+            .groupBy("doc_id", "entity_type", "name")
+            .agg(F.count("*").alias("n_mentions"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def entity_rollup(tagged: DataFrame) -> DataFrame:
     """A6 candidate rollup: per name — dominant type, total mentions,
     #docs, ≤3 example doc_ids (`pipeline/whoosh_index.py:283-377`)."""

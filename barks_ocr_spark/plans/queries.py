@@ -813,6 +813,82 @@ GROUP BY entity_type, name
 """
 
 
+def q_index_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 integrity check: curated terms missing from the index
+    (`pipeline/whoosh_index.py:33-57` analogue)."""
+    docs = load(spark, sf_dir, "documents")
+    idx = index.inverted_index(docs)
+    return index.index_integrity_missing_terms(
+        idx, ["spark", "customer", "vector", "zzznotaword"]
+    )
+
+
+_SQL_INDEX_INTEGRITY = (
+    _SQL_TOKENS_CTE
+    + """
+SELECT term FROM (VALUES ('spark'), ('customer'), ('vector'), ('zzznotaword')) AS c(term)
+WHERE term NOT IN (SELECT DISTINCT word FROM toks WHERE word <> '')
+"""
+)
+
+
+def q_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-search over the index: docs containing every query term
+    (the Whoosh multi-term query analogue, O6 set intersection)."""
+    docs = load(spark, sf_dir, "documents")
+    idx = index.inverted_index(docs)
+    terms = ["spark", "vector"]
+    hits = idx.filter(F.col("word").isin(terms))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("word").alias("n_terms"),
+            F.sum("cnt").alias("total_cnt"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "total_cnt")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SEARCH_ALL = (
+    _SQL_TOKENS_CTE
+    + """
+SELECT doc_id, SUM(cnt) AS total_cnt FROM (
+  SELECT word, doc_id, COUNT(*) AS cnt FROM toks
+  WHERE word IN ('spark', 'vector') GROUP BY word, doc_id)
+GROUP BY doc_id HAVING COUNT(DISTINCT word) = 2
+ORDER BY doc_id
+"""
+)
+
+
+TESTDATA_CONTEXT_RULES = [("NEXT_AFTER_FAST", r"\bfast\s+([a-z]+)")]
+
+
+def q_context_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-sensitive entity rules (entity_tagger.py:125-142 analogue):
+    candidates = the word following a cue word, rolled up corpus-wide."""
+    docs = load(spark, sf_dir, "documents")
+    tagged = entities.tag_entities_by_context(docs, rules=TESTDATA_CONTEXT_RULES)
+    return (
+        tagged.groupBy("entity_type", "name")
+        .agg(F.sum("n_mentions").alias("total_mentions"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("total_mentions"), "name")
+    )
+
+
+_SQL_CONTEXT_ENTITIES = """
+SELECT 'NEXT_AFTER_FAST' AS entity_type, name,
+       SUM(n) AS total_mentions, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\bfast\\s+([a-z]+)', 1)) AS name,
+         1 AS n
+  FROM documents)
+GROUP BY name ORDER BY total_mentions DESC, name
+"""
+
+
 def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 search-the-index analogue: term lookup, highest count first."""
     docs = load(spark, sf_dir, "documents")
@@ -1026,6 +1102,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "best_fuzzy_match": (q_best_fuzzy_match, None),
     "entity_corrections": (q_entity_corrections, _SQL_ENTITY_CORRECTIONS),
     "index_search": (q_index_search, _SQL_INDEX_SEARCH),
+    "index_integrity": (q_index_integrity, _SQL_INDEX_INTEGRITY),
+    "search_all_terms": (q_search_all_terms, _SQL_SEARCH_ALL),
+    "context_entities": (q_context_entities, _SQL_CONTEXT_ENTITIES),
     "comic_spans": (q_comic_spans, None),
     "media_features": (q_media_features, None),
 }

@@ -103,3 +103,9 @@ def test_tokenize_for_index():
 def test_comparison_key():
     out = tn.comparison_key(s("A — B", "a--b", "A  –B"))
     assert out.tolist() == ["a-b", "a-b", "a-b"]
+
+
+def test_spell_suggest():
+    d = frozenset(["duck", "nugget", "town", "go"])
+    out = tn.spell_suggest(s("duk found a nuget", "town.", "xyzzyq stays"), d)
+    assert out.tolist() == ["duck found a nugget", "town.", "xyzzyq stays"]
