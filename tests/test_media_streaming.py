@@ -112,3 +112,41 @@ def test_streaming_event_counts(spark, tmp_path):
     }
     assert rows[("2024-01-01 10:00:00", "click")] == 2
     assert rows[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState: first-occurrence dedup across micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from barks_ocr_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "docs")
+    # 6 docs, 3 distinct fingerprints, written as several files so the
+    # stream sees multiple micro-batches
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "fp": ["a", "b", "a", "c", "b", "a"],
+        }
+    )
+    spark.createDataFrame(rows).repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = stateful.stream_first_per_fingerprint(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedupstream").collect()
+    fps = [r["fp"] for r in got]
+    assert sorted(fps) == ["a", "b", "c"]  # exactly one row per fingerprint
+    assert all(r["is_first"] for r in got)
