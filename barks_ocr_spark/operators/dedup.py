@@ -55,10 +55,16 @@ def shingles_from_words(words: Column, n: int = 3) -> Column:
     docs when the canonicalize+split pipeline was inlined.
     """
     k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    # NB: Spark's sequence(0, stop) DESCENDS when stop < 0 (yielding
+    # [0, -1], whose slice(start=0) throws), so docs shorter than n words
+    # must short-circuit to an explicit empty array.
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
     )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -151,7 +157,12 @@ def minhash_signatures(
     projection collapse inlines the whole canonicalize/split/distinct
     pipeline into every seed lambda (measured ~20× slower on 1k docs).
     """
-    sh = shingle_table(docs, text_col, n)
+    return minhash_signatures_from_shingles(shingle_table(docs, text_col, n), k)
+
+
+def minhash_signatures_from_shingles(sh: DataFrame, k: int = 64) -> DataFrame:
+    """Signatures from an existing (doc_id, shingle) table — lets callers
+    share one shingle pass across signature and verification stages."""
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(k)
@@ -224,9 +235,11 @@ def minhash_near_duplicates(
     the verify stage is two doc_id-keyed joins to attach each side's
     shingle array + an intra-row ``array_intersect`` — shuffle volume is
     O(candidates), not O(docs sharing a shingle)."""
-    sigs = minhash_signatures(docs, text_col, n, k)
+    # One shingle pass feeds signatures AND pairwise verification.
+    doc_sh = doc_shingles(docs, text_col, n).persist()
+    sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sigs = minhash_signatures_from_shingles(sh, k)
     cand = minhash_lsh_candidates(sigs, bands, k // bands)
-    doc_sh = doc_shingles(docs, text_col, n)
     a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     pairs = cand.join(a, "doc_a").join(b, "doc_b")

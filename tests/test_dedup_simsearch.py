@@ -41,6 +41,18 @@ def test_minhash_finds_planted_dups(spark):
     assert (1, 2) in pairs
 
 
+def test_minhash_short_and_null_docs(spark):
+    # Docs with fewer words than the shingle width (incl. empty / null
+    # text) must yield zero shingles, not a slice(start=0) crash —
+    # Spark's sequence(0, -1) descends instead of returning empty.
+    rows = [("d1", ""), ("d2", "   "), ("d3", None), ("d4", "two words")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    assert dedup.minhash_near_duplicates(docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    sh = docs.select(dedup.shingles_col(F.col("text")).alias("s")).collect()
+    assert all(r["s"] == [] for r in sh)
+
+
 def test_simhash_hamming_zero_for_identical(spark):
     out = dedup.simhash_near_duplicates(_corpus(spark), max_hamming=3).collect()
     ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
