@@ -948,6 +948,34 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over an LSH-bucketed self-join.
+
+    Corpus = embeddings ∪ id-shifted twin, threshold 0.99. Max natural
+    (non-twin) cosine in the driver data is ~0.51 and identical vectors
+    always share a sign-LSH signature, so the bucketed join is provably
+    complete here and the exact O(n²) SQL is a full oracle."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    return simsearch.cosine_pairs(emb.unionAll(twin), threshold=0.99)
+
+
+_SQL_EMBEDDING_NEAR_DUPS = """
+WITH doubled AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+)
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS score
+  FROM doubled a JOIN doubled b ON a.vec_id < b.vec_id)
+WHERE score >= 0.99
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid: posexplode + exact decimal mean per dimension."""
     emb = load(spark, sf_dir, "embeddings")
@@ -1096,6 +1124,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "issue_histogram": (q_issue_histogram, _SQL_ISSUE_HISTOGRAM),
     "topk_cosine": (q_topk_cosine, _SQL_TOPK_COSINE),
     "lsh_topk": (q_lsh_topk, None),
+    "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
     "compare_counters": (q_compare_counters, _SQL_COMPARE),
