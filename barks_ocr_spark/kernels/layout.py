@@ -127,3 +127,51 @@ def blockquote_flags(xs: np.ndarray, columns: np.ndarray) -> np.ndarray:
         med = np.median(xs[m])
         out[m] = xs[m] >= med + BLOCKQUOTE_INDENT_PT
     return out
+
+
+# ── A8: footnote sessionization (books pipeline) ─────────────────────────
+def _fold_footnote_texts(texts: list[str]) -> str:
+    """Exact continuation-fold semantics of
+    `books/src/llama-parse-build-epub.py:397-411` (_merge_footnote
+    _continuations): each fold rstrips the accumulated head and lstrips
+    the incoming tail, single-space join."""
+    acc = texts[0]
+    for t in texts[1:]:
+        acc = f"{acc.rstrip()} {t.lstrip()}"
+    return acc
+
+
+def fold_footnotes(items: pd.DataFrame) -> pd.DataFrame:
+    """A8: fold consecutive footnote-labeled items into their head item.
+
+    ``items``: columns (doc_id, pos, text, is_footnote), reading order.
+    A new footnote group starts when a footnote item's text begins with
+    ``*`` / ``\\*`` (lstripped) or it is the document's first footnote;
+    later marker-less footnote items are continuations folded into the
+    head; non-footnote items pass through untouched
+    (`books/src/llama-parse-build-epub.py:376-411`).
+    """
+    if len(items) == 0:
+        return items.copy()
+    items = items.sort_values(["doc_id", "pos"], kind="stable", ignore_index=True)
+    fn = items[items["is_footnote"].astype(bool)]
+    if len(fn) == 0:
+        return items
+    starts = fn["text"].fillna("").str.lstrip().str.startswith(("\\*", "*"))
+    first_in_doc = ~fn["doc_id"].duplicated()
+    gid = (starts | first_in_doc).cumsum()
+    sizes = gid.map(gid.value_counts())
+    out = items.copy()
+    if (sizes > 1).any():
+        multi = fn[sizes > 1]
+        folded = (
+            multi["text"]
+            .fillna("")
+            .groupby(gid[sizes > 1])
+            .agg(lambda s: _fold_footnote_texts(list(s)))
+        )
+        heads = multi.groupby(gid[sizes > 1]).head(1)
+        out.loc[heads.index, "text"] = folded.to_numpy()
+        tails = multi.index.difference(heads.index)
+        out = out.drop(index=tails)
+    return out.reset_index(drop=True)

@@ -169,3 +169,19 @@ def extraction_metrics(result: DataFrame) -> DataFrame:
 def load_documents(spark: SparkSession, path: str) -> DataFrame:
     """Read an interleaved-docs parquet/Iceberg table."""
     return spark.read.parquet(path)
+
+
+def fold_footnote_items(items: DataFrame) -> DataFrame:
+    """A8 footnote sessionization over a flat labeled-item table
+    (doc_id, pos, text, is_footnote, ...): consecutive footnote items
+    fold into their marker-started head item; everything else passes
+    through (`books/src/llama-parse-build-epub.py:376-411`).
+
+    Shuffle shape: one hash partition on doc_id (grouped-map needs whole
+    documents); the fold itself is the vectorized layout kernel."""
+    from barks_ocr_spark.kernels import layout
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return layout.fold_footnotes(pdf)
+
+    return items.groupBy("doc_id").applyInPandas(_fold, items.schema)

@@ -752,6 +752,57 @@ def q_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compare.best_fuzzy_match(a, b)
 
 
+def q_footnote_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 footnote sessionization: 8-word chunks with planted footnote
+    labels (pos%4∈{1,2}) and markers on pos%4==1. Chunks carry no edge
+    whitespace, so the kernel's rstrip/lstrip fold reduces to an ordered
+    ' '-join — giving an exact SQL oracle for the grouped-map path."""
+    from barks_ocr_spark.operators import extraction
+
+    g = _engine_groups(spark, sf_dir, perturb=False)
+    items = g.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.col("pos") % 4 == 1, F.concat(F.lit("* "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("pos") % 4).isin(1, 2).alias("is_footnote"),
+    )
+    return extraction.fold_footnote_items(items).orderBy("doc_id", "pos")
+
+
+_SQL_FOOTNOTE_FOLD = """
+WITH chunks AS (
+  SELECT doc_id, i - 1 AS pos,
+    array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    unnest(generate_series(1, greatest(CAST(ceil(len(ws)/8.0) AS INT), 1))) AS t(i)
+), items AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos % 4 = 1 THEN '* ' || text ELSE text END AS text,
+    (pos % 4) IN (1, 2) AS is_footnote
+  FROM chunks
+), fn0 AS (
+  SELECT doc_id, pos, text,
+    (ltrim(text) LIKE '*%' OR ltrim(text) LIKE '\\*%') AS m,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM items WHERE is_footnote
+), fn AS (
+  SELECT doc_id, pos, text,
+    SUM(CASE WHEN m OR rn = 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM fn0
+)
+SELECT doc_id, pos, text, is_footnote FROM (
+  SELECT doc_id, min(pos) AS pos,
+         string_agg(text, ' ' ORDER BY pos) AS text, TRUE AS is_footnote
+  FROM fn GROUP BY doc_id, gid
+  UNION ALL
+  SELECT doc_id, pos, text, FALSE FROM items WHERE NOT is_footnote)
+ORDER BY doc_id, pos
+"""
+
+
 def q_entity_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 corrections overlay: deterministic corrections derived from the
     tagged set (remove 'spark' rows on even docs, add a curated name on
@@ -1130,6 +1181,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "compare_counters": (q_compare_counters, _SQL_COMPARE),
     "best_fuzzy_match": (q_best_fuzzy_match, None),
     "entity_corrections": (q_entity_corrections, _SQL_ENTITY_CORRECTIONS),
+    "footnote_fold": (q_footnote_fold, _SQL_FOOTNOTE_FOLD),
     "index_search": (q_index_search, _SQL_INDEX_SEARCH),
     "index_integrity": (q_index_integrity, _SQL_INDEX_INTEGRITY),
     "search_all_terms": (q_search_all_terms, _SQL_SEARCH_ALL),

@@ -81,3 +81,57 @@ def test_split_columns_and_blockquotes():
     cols_bq = np.array([0, 0, 0, 0, 1, 1, 1])
     flags = layout.blockquote_flags(xs_bq, cols_bq)
     assert flags.tolist() == [False, False, True, False, False, False, True]
+
+
+def _items(rows):
+    return pd.DataFrame(rows, columns=["doc_id", "pos", "text", "is_footnote"])
+
+
+def test_fold_footnotes_kernel():
+    # Reference behavior (_group_footnote_items/_merge_footnote_continuations):
+    # marker starts a group; marker-less footnotes continue the current one;
+    # the doc's first footnote starts a group even without a marker.
+    items = _items([
+        ("d1", 0, "body text", False),
+        ("d1", 1, "\\* first note ", True),
+        ("d1", 2, "  continues here", True),
+        ("d1", 3, "* second note", True),
+        ("d1", 4, "more body", False),
+        ("d2", 0, "no marker yet still head", True),
+        ("d2", 1, "tail", True),
+    ])
+    out = layout.fold_footnotes(items)
+    d1 = out[out.doc_id == "d1"]["text"].tolist()
+    assert d1 == ["body text", "\\* first note continues here", "* second note", "more body"]
+    # rstrip(head)+' '+lstrip(tail) exactly — interior spacing collapsed once
+    d2 = out[out.doc_id == "d2"]["text"].tolist()
+    assert d2 == ["no marker yet still head tail"]
+    # continuation never leaks across documents
+    assert len(out) == 5
+
+
+def test_fold_footnotes_passthrough_and_empty():
+    items = _items([("d1", 0, "a", False), ("d1", 1, "b", False)])
+    pd.testing.assert_frame_equal(layout.fold_footnotes(items), items)
+    empty = _items([])
+    assert len(layout.fold_footnotes(empty)) == 0
+
+
+def test_fold_footnote_items_spark(spark):
+    from barks_ocr_spark.operators import extraction
+
+    items = _items([
+        ("d1", 0, "\\* note", True),
+        ("d1", 1, "cont a", True),
+        ("d1", 2, "body", False),
+        ("d2", 0, "* other", True),
+        ("d2", 1, "cont b", True),
+    ])
+    df = spark.createDataFrame(items)
+    out = extraction.fold_footnote_items(df).orderBy("doc_id", "pos").collect()
+    got = [(r.doc_id, r.pos, r.text) for r in out]
+    assert got == [
+        ("d1", 0, "\\* note cont a"),
+        ("d1", 2, "body"),
+        ("d2", 0, "* other cont b"),
+    ]
