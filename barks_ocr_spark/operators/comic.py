@@ -76,6 +76,52 @@ def groups_to_spans(page_groups: DataFrame) -> DataFrame:
     return page_groups.mapInPandas(_gen, DOCUMENTS_SPANS_SCHEMA)
 
 
+def rescale_boxes(
+    decoded: DataFrame,
+    x_scale: float = 1.0,
+    y_scale: float = 1.0,
+    xlat: int = 0,
+    ylat: int = 0,
+    rect_scale: float = 1.1,
+) -> DataFrame:
+    """I9 drifted-box affine fix, all intra-row column arithmetic.
+
+    Per corner: ``round(scale * (translate + coord))``; then the quad is
+    re-derived axis-aligned from a center-scale of the TL/BR corners
+    (`src/barks_ocr/tools/quick_fix.py:7-41, 92-112`). Python's round()
+    is half-even → ``bround``, not ``round``.
+    """
+    from pyspark.sql import functions as F
+
+    def _sx(e):
+        return F.bround(F.lit(float(x_scale)) * (F.lit(int(xlat)) + e))
+
+    def _sy(e):
+        return F.bround(F.lit(float(y_scale)) * (F.lit(int(ylat)) + e))
+
+    def _fix_quad(box):
+        x0, y0 = _sx(box[0]), _sy(box[1])
+        x1, y1 = _sx(box[4]), _sy(box[5])  # corner 2 = bottom-right
+        w, h = x1 - x0, y1 - y0
+        cx, cy = x0 + w / 2, y0 + h / 2
+        nw, nh = w * F.lit(float(rect_scale)), h * F.lit(float(rect_scale))
+        nx0 = F.bround(cx - nw / 2).cast("int")
+        ny0 = F.bround(cy - nh / 2).cast("int")
+        nx1 = F.bround(cx + nw / 2).cast("int")
+        ny1 = F.bround(cy + nh / 2).cast("int")
+        return F.array(nx0, ny0, nx1, ny0, nx1, ny1, nx0, ny1)
+
+    fixed = F.transform(
+        "boxes",
+        lambda b: F.struct(
+            _fix_quad(b["box"]).alias("box"),
+            b["ocr_text"].alias("ocr_text"),
+            b["prob"].alias("prob"),
+        ),
+    )
+    return decoded.withColumn("boxes", fixed)
+
+
 def comic_pipeline(pages: DataFrame, cluster_gap: int = 12) -> DataFrame:
     """pages(doc_id, page_image) → (doc_id, spans), end to end."""
     return groups_to_spans(group_pages(ocr_pages(pages), cluster_gap=cluster_gap))

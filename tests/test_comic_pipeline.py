@@ -71,3 +71,39 @@ def test_comic_pipeline_spark_matches_pandas(spark):
         for s in spans:
             assert "GHOST" not in s["text"]
             assert s["text"] != "OO"
+
+
+def test_rescale_boxes_matches_reference_math(spark):
+    # Independent oracle: the quick_fix.py formulas (I9) in plain Python —
+    # per-corner round(scale*(xlat+coord)) with Python half-even rounding,
+    # then a center-scale of the TL/BR rect, re-emitted axis-aligned.
+    def oracle(quad, x_scale, y_scale, xlat, ylat, rect_scale):
+        pts = [
+            (round(x_scale * (xlat + quad[2 * i])), round(y_scale * (ylat + quad[2 * i + 1])))
+            for i in range(4)
+        ]
+        (x0, y0), (x1, y1) = pts[0], pts[2]
+        w, h = x1 - x0, y1 - y0
+        cx, cy = x0 + w / 2, y0 + h / 2
+        nw, nh = w * rect_scale, h * rect_scale
+        nx0, ny0 = round(cx - nw / 2), round(cy - nh / 2)
+        nx1, ny1 = round(cx + nw / 2), round(cy + nh / 2)
+        return [nx0, ny0, nx1, ny0, nx1, ny1, nx0, ny1]
+
+    params = {"x_scale": 0.928, "y_scale": 1.026, "xlat": 130, "ylat": -25}
+    quads = [
+        [100, 200, 300, 200, 300, 260, 100, 260],
+        [1, 1, 9, 1, 9, 5, 1, 5],        # odd coords → .5 products hit bround
+        [0, 0, 10, 0, 10, 10, 0, 10],
+    ]
+    rows = [("p1", [], [{"box": q, "ocr_text": "T", "prob": 0.9} for q in quads])]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, panels array<struct<x:int,y:int,w:int,h:int>>, "
+        "boxes array<struct<box:array<int>, ocr_text:string, prob:double>>",
+    )
+    out = comic.rescale_boxes(df, **params, rect_scale=1.1).collect()[0]["boxes"]
+    got = [list(b["box"]) for b in out]
+    want = [oracle(q, rect_scale=1.1, **params) for q in quads]
+    assert got == want
+    assert all(b["ocr_text"] == "T" and b["prob"] == 0.9 for b in out)
