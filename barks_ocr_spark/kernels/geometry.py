@@ -138,3 +138,20 @@ def reading_order(panel_num: np.ndarray, y0: np.ndarray, x0: np.ndarray) -> np.n
     ranks = np.empty(len(order), dtype=np.int64)
     ranks[order] = np.arange(len(order))
     return ranks
+
+
+def padded_clipped_bbox(
+    quads: np.ndarray, pad: int, image_w: int, image_h: int
+) -> np.ndarray:
+    """I6: axis bbox of each polygon, padded by ``pad``, clipped to the
+    image — the bubble-crop window feeding the re-OCR spot check
+    (`src/barks_ocr/tools/florence_check.py:291-303`). int() there
+    truncates toward zero, which for the non-negative pixel coords used
+    is the same floor this int64 cast applies."""
+    b = axis_bbox(quads)
+    out = np.empty_like(b)
+    out[:, 0] = np.maximum(0, b[:, 0] - pad)
+    out[:, 1] = np.maximum(0, b[:, 1] - pad)
+    out[:, 2] = np.minimum(image_w, b[:, 2] + pad)
+    out[:, 3] = np.minimum(image_h, b[:, 3] + pad)
+    return out

@@ -107,3 +107,19 @@ def test_rescale_boxes_matches_reference_math(spark):
     want = [oracle(q, rect_scale=1.1, **params) for q in quads]
     assert got == want
     assert all(b["ocr_text"] == "T" and b["prob"] == 0.9 for b in out)
+
+
+def test_padded_clipped_bbox():
+    quads = np.array(
+        [
+            [10, 10, 50, 10, 50, 30, 10, 30],   # interior box
+            [2, 2, 8, 2, 8, 6, 2, 6],           # clips at origin
+            [90, 60, 99, 60, 99, 68, 90, 68],   # clips at image edge
+        ]
+    )
+    out = geo.padded_clipped_bbox(quads, pad=5, image_w=100, image_h=70)
+    assert out.tolist() == [
+        [5, 5, 55, 35],
+        [0, 0, 13, 11],
+        [85, 55, 100, 70],
+    ]
