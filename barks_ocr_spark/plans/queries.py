@@ -768,7 +768,9 @@ def q_footnote_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
         (F.col("pos") % 4).isin(1, 2).alias("is_footnote"),
     )
-    return extraction.fold_footnote_items(items).orderBy("doc_id", "pos")
+    # no orderBy: the driver compare is order-insensitive and a global
+    # sort would add a range exchange purely for display
+    return extraction.fold_footnote_items(items)
 
 
 _SQL_FOOTNOTE_FOLD = """
