@@ -382,7 +382,9 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EVENTS_JSON = """
 SELECT event_type,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  -- outer CAST: DuckDB's bare integer SUM returns HUGEINT; Spark returns
+  -- bigint, and the driver's value-hash distinguishes the types
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events
 GROUP BY event_type
@@ -527,7 +529,16 @@ WITH doubled AS (
 
 
 def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(_doubled_docs(spark, sf_dir))
+    out = dedup.exact_duplicates(_doubled_docs(spark, sf_dir))
+    # doc_ids flattened to a CSV string: the driver's canonicalizer
+    # sorts result cells with pandas and dies on unhashable list cells
+    return out.select(
+        "fp",
+        "n_docs",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("doc_ids"),
+    )
 
 
 _SQL_EXACT_DUPS = (
@@ -535,7 +546,7 @@ _SQL_EXACT_DUPS = (
     + f"""
 SELECT fp, n_docs, doc_ids FROM (
   SELECT md5({_CANON_SQL}) AS fp, COUNT(*) AS n_docs,
-         list_sort(list(doc_id)) AS doc_ids
+         array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
   FROM doubled GROUP BY 1)
 WHERE n_docs > 1
 """
@@ -603,9 +614,20 @@ def q_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         entities.CURATED_ENTITIES = TESTDATA_ENTITIES
         tagged = entities.tag_entities(docs)
-        return entities.entity_rollup(tagged)
+        rolled = entities.entity_rollup(tagged)
     finally:
         entities.CURATED_ENTITIES = saved
+    # examples flattened to a CSV string: the driver's canonicalizer
+    # can't sort rows containing list cells
+    return rolled.select(
+        "name",
+        "dominant_type",
+        "total_mentions",
+        "n_docs",
+        F.array_join(
+            F.transform("examples", lambda x: x.cast("string")), ","
+        ).alias("examples"),
+    )
 
 
 def _entities_union_sql() -> str:
@@ -623,13 +645,23 @@ def _entities_union_sql() -> str:
 _SQL_ENTITY_ROLLUP = f"""
 WITH tagged AS (
   SELECT * FROM ({_entities_union_sql()}) WHERE n_mentions > 0
+), per_name AS (
+  SELECT name,
+    CAST(SUM(n_mentions) AS BIGINT) AS total_mentions,
+    COUNT(DISTINCT doc_id) AS n_docs,
+    array_to_string((list_sort(list(doc_id)))[1:3], ',') AS examples
+  FROM tagged GROUP BY name
+), dom AS (
+  SELECT name, entity_type AS dominant_type FROM (
+    SELECT name, entity_type,
+      ROW_NUMBER() OVER (PARTITION BY name
+                         ORDER BY COUNT(*) DESC, entity_type) AS rk
+    FROM tagged GROUP BY name, entity_type)
+  WHERE rk = 1
 )
-SELECT name, entity_type,
-  SUM(n_mentions) AS total_mentions,
-  COUNT(DISTINCT doc_id) AS n_docs,
-  (list_sort(list(doc_id)))[1:3] AS examples
-FROM tagged GROUP BY name, entity_type
-ORDER BY total_mentions DESC, name
+SELECT p.name, dominant_type, total_mentions, n_docs, examples
+FROM per_name p JOIN dom ON p.name = dom.name
+ORDER BY total_mentions DESC, p.name
 """
 
 
@@ -734,10 +766,12 @@ WITH chunks AS (
 )
 SELECT doc_id,
   COUNT(*) AS groups_compared,
-  SUM(CASE WHEN text_a = text_b THEN 1 ELSE 0 END) AS perfect_matches,
-  SUM(CASE WHEN text_a IS NOT NULL AND text_b IS NOT NULL AND text_a <> text_b
-      THEN 1 ELSE 0 END) AS mismatches,
-  SUM(CASE WHEN text_a IS NULL OR text_b IS NULL THEN 1 ELSE 0 END) AS engine_only
+  -- CASTs: DuckDB integer SUM is HUGEINT, Spark's is bigint (driver hash
+  -- is type-sensitive)
+  CAST(SUM(CASE WHEN text_a = text_b THEN 1 ELSE 0 END) AS BIGINT) AS perfect_matches,
+  CAST(SUM(CASE WHEN text_a IS NOT NULL AND text_b IS NOT NULL AND text_a <> text_b
+      THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
+  CAST(SUM(CASE WHEN text_a IS NULL OR text_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS engine_only
 FROM joined GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -860,7 +894,8 @@ WITH tagged AS (
   UNION ALL
   SELECT doc_id, 'OPERATION', 'curated op', 1 FROM documents WHERE doc_id % 10 = 9
 )
-SELECT entity_type, name, COUNT(*) AS n_docs, SUM(n_mentions) AS total_mentions
+SELECT entity_type, name, COUNT(*) AS n_docs,
+  CAST(SUM(n_mentions) AS BIGINT) AS total_mentions
 FROM (SELECT * FROM kept UNION ALL SELECT * FROM added)
 GROUP BY entity_type, name
 """
@@ -907,7 +942,7 @@ def q_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SEARCH_ALL = (
     _SQL_TOKENS_CTE
     + """
-SELECT doc_id, SUM(cnt) AS total_cnt FROM (
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total_cnt FROM (
   SELECT word, doc_id, COUNT(*) AS cnt FROM toks
   WHERE word IN ('spark', 'vector') GROUP BY word, doc_id)
 GROUP BY doc_id HAVING COUNT(DISTINCT word) = 2
@@ -933,7 +968,7 @@ def q_context_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CONTEXT_ENTITIES = """
 SELECT 'NEXT_AFTER_FAST' AS entity_type, name,
-       SUM(n) AS total_mentions, COUNT(DISTINCT doc_id) AS n_docs
+       CAST(SUM(n) AS BIGINT) AS total_mentions, COUNT(DISTINCT doc_id) AS n_docs
 FROM (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\bfast\\s+([a-z]+)', 1)) AS name,
          1 AS n
