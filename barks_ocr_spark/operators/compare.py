@@ -32,7 +32,8 @@ _RATIO_UDF = None
 
 def similarity_ratio(a: Column, b: Column) -> Column:
     """difflib.SequenceMatcher.ratio, vectorized over Arrow batches
-    (`tools/compare.py:184-185`). None on either side → 0.0.
+    (`tools/compare.py:184-185`). None on either side → 0.0; empty
+    strings score like the reference ('' vs '' → 1.0).
 
     The pandas_udf is built lazily: decorating at import time parses the
     DDL return type, which requires an active SparkContext.
@@ -44,7 +45,10 @@ def similarity_ratio(a: Column, b: Column) -> Column:
             from difflib import SequenceMatcher
 
             def ratio(p: str | None, q: str | None) -> float:
-                if not p or not q:
+                # 0.0 only for missing sides: SequenceMatcher('','') is
+                # 1.0 in the reference, and the SQL oracle counts
+                # text_a = text_b ('' = '') as a perfect match
+                if not isinstance(p, str) or not isinstance(q, str):
                     return 0.0
                 return SequenceMatcher(None, p, q).ratio()
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from barks_ocr_spark.operators.cacheutil import persist_tracked as _persist
 from barks_ocr_spark.operators.textstats import canonical_text
 
 
@@ -73,9 +74,11 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     row (see shingles_from_words). The barrier is an explicit persist —
     the Spark equivalent of writing the tokenized intermediate to a table
     in a multi-stage corpus job."""
-    words_df = docs.select(
-        "doc_id", F.split(canonical_text(F.col(text_col)), " ").alias("_words")
-    ).persist()
+    words_df = _persist(
+        docs.select(
+            "doc_id", F.split(canonical_text(F.col(text_col)), " ").alias("_words")
+        )
+    )
     return words_df.select(
         "doc_id", shingles_from_words(F.col("_words"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -111,7 +114,7 @@ def ngram_jaccard_pairs(
     """
     # The shingle table feeds both sides of the self-join; persist +
     # eager materialize so the canonicalize/shingle pipeline runs once.
-    sh = shingle_table(docs, text_col, n).persist()
+    sh = _persist(shingle_table(docs, text_col, n))
     sh.count()
     if max_shingle_freq is not None:
         hot = (
@@ -187,7 +190,7 @@ def minhash_lsh_candidates(
     # eagerly materialize: a lazily-materialized cache inside the same
     # action still recomputes on the broadcast-build side (measured
     # 280s lazy vs 2s eager on 1k docs).
-    signatures = signatures.persist()
+    signatures = _persist(signatures)
     signatures.count()
     banded = signatures.select(
         "doc_id",
@@ -236,7 +239,7 @@ def minhash_near_duplicates(
     shingle array + an intra-row ``array_intersect`` — shuffle volume is
     O(candidates), not O(docs sharing a shingle)."""
     # One shingle pass feeds signatures AND pairwise verification.
-    doc_sh = doc_shingles(docs, text_col, n).persist()
+    doc_sh = _persist(doc_shingles(docs, text_col, n))
     sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
     sigs = minhash_signatures_from_shingles(sh, k)
     cand = minhash_lsh_candidates(sigs, bands, k // bands)
@@ -300,7 +303,7 @@ def simhash_near_duplicates(
     """
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
-    sigs = simhash_signatures(docs, text_col).persist()
+    sigs = _persist(simhash_signatures(docs, text_col))
     sigs.count()
     seg_structs = [
         F.struct(

@@ -50,7 +50,10 @@ def heading_candidates(docs: DataFrame) -> DataFrame:
     Python workers (the earlier mapInPandas variant pinned ~13s of
     Arrow+pandas flatten cost per run that did not parallelize away).
     """
-    t = F.trim(F.col("s.text"))
+    # regexp strip, not F.trim: trim removes ASCII spaces only, while the
+    # golden pandas kernel uses .str.strip() (all whitespace) — tab/newline
+    # edge whitespace must produce the same variants in both paths
+    t = F.regexp_replace(F.col("s.text"), r"^\s+|\s+$", "")
     header_shape = t.rlike(_HEADER_SHAPE_RE)
     all_caps = (
         t.rlike("[A-Za-z]") & ~t.rlike("[a-z]")
@@ -62,12 +65,14 @@ def heading_candidates(docs: DataFrame) -> DataFrame:
         & ~t.startswith(tn.REPRINTED_PREFIX)
         & t.rlike("[A-Za-z]")
     )
-    stripped = F.trim(
+    stripped = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, rf"^{_PAGE_NUM_TOKEN}\s+", ""),
             rf"\s+{_PAGE_NUM_TOKEN}$",
             "",
-        )
+        ),
+        r"^\s+|\s+$",
+        "",
     )
     return (
         docs.select("doc_id", F.explode("spans").alias("s"))

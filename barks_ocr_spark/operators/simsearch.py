@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from barks_ocr_spark.operators.cacheutil import persist_tracked as _persist
+
 # Deterministic "random" hyperplanes for sign-LSH: plane p, dim d weight
 # derived from xxhash64 — reproducible across engines and runs.
 
@@ -97,9 +99,11 @@ def cosine_pairs(
     raise the hamming budget via lsh_topk-style multi-probe instead.
     """
     v = F.col(vec_col).cast("array<double>")
-    with_sig = embeddings.select(
-        F.col(id_col).alias("vid"), v.alias("v"), sign_lsh_bits(v, n_planes).alias("sig")
-    ).persist()  # feeds both self-join sides — compute LSH bits once
+    with_sig = _persist(  # feeds both self-join sides — compute LSH bits once
+        embeddings.select(
+            F.col(id_col).alias("vid"), v.alias("v"), sign_lsh_bits(v, n_planes).alias("sig")
+        )
+    )
     with_sig.count()  # eager: lazy cache would recompute on broadcast side
     a = with_sig.select(
         F.col("vid").alias("id_a"), F.col("v").alias("v_a"), "sig"

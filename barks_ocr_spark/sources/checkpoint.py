@@ -53,8 +53,21 @@ class ExtractionJob:
         the uncommitted docs — exactly-once in effect.
         """
         pending = self.pending(spark, docs)
+        # The repeated-heading set (≥3 distinct docs) MUST come from the
+        # FULL docs table, not the pending remainder: a resumed run that
+        # recomputed it over pending-only would classify boilerplate
+        # differently than one uninterrupted run (a header on 4 docs with
+        # 3 already committed would survive the resumed pass), breaking
+        # the exactly-once-in-effect determinism and the reference's
+        # whole-book two-pass rule (books/src/book_pages.py:295-321).
+        repeating = frozenset(
+            r["variant"] for r in extraction.repeating_headings(docs).collect()
+        )
         result = extraction.extract(
-            pending, page_scans=page_scans, num_partitions=num_partitions
+            pending,
+            page_scans=page_scans,
+            repeating=repeating,
+            num_partitions=num_partitions,
         )
         # Materialize once: metrics + data from the same computation.
         result = result.persist()

@@ -54,11 +54,16 @@ def run_headline() -> None:
     # warm the JVM/Arrow path once (excluded from timings)
     _count(qs["pricing_summary"](spark, sf_dir))
 
+    from barks_ocr_spark.operators.cacheutil import unpersist_intermediates
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         _count(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release operator-persisted intermediates between queries so one
+        # query's cache doesn't eat the next one's executor memory
+        unpersist_intermediates()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -158,30 +163,53 @@ def run_scaling(
     # the VM idle), so consecutive one-shot measurements are not
     # comparable. Each probe is its own process (fresh JVM, own warmup);
     # interleaving decorrelates the noise across levels.
+    # Every number in the report below is measured IN THIS RUN — the
+    # report template carries no snapshotted literals.
     import subprocess
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
-    walls: dict[int, list[float]] = {low: [], high: []}
+    levels = sorted(
+        {
+            int(c)
+            for c in os.environ.get(
+                "SPARK_GRAFT_SCALING_LEVELS", f"{low},{high}"
+            ).split(",")
+        }
+    )
+    low, high = levels[0], levels[-1]
+    walls: dict[int, list[float]] = {c: [] for c in levels}
     for _ in range(rounds):
-        for cores in (low, high):
+        for cores in levels:
             out = subprocess.run(
                 [sys.executable, __file__, "--scaling-probe", str(cores), docs_path, str(n_docs)],
                 capture_output=True, text=True, check=True,
             )
             walls[cores].append(json.loads(out.stdout.strip().splitlines()[-1])["wall_sec"])
-    lo_w, hi_w = min(walls[low]), min(walls[high])
-    lo = {"cores": low, "wall_sec": round(lo_w, 3), "docs_per_sec": round(n_docs / lo_w, 1),
+    best = {c: min(w) for c, w in walls.items()}
+    tput = {c: n_docs / best[c] for c in levels}
+    lo = {"cores": low, "wall_sec": round(best[low], 3), "docs_per_sec": round(tput[low], 1),
           "all_runs_sec": [round(w, 2) for w in walls[low]]}
-    hi = {"cores": high, "wall_sec": round(hi_w, 3), "docs_per_sec": round(n_docs / hi_w, 1),
+    hi = {"cores": high, "wall_sec": round(best[high], 3), "docs_per_sec": round(tput[high], 1),
           "all_runs_sec": [round(w, 2) for w in walls[high]]}
     ratio = high // low
-    eff = round((hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio, 3)
+    eff = round((tput[high] / tput[low]) / ratio, 3)
+
+    curve_rows = "\n".join(
+        f"| {c} | {tput[c]:.0f} | {tput[c] / c:.0f} | {walls[c]} |" for c in levels
+    )
+    pair_effs = ", ".join(
+        f"{a}→{b} = {(tput[b] / tput[a]) / (b // a):.2f}"
+        for a in levels
+        for b in levels
+        if b == 4 * a
+    )
 
     report = f"""# BENCH/BASELINE — extraction throughput + scaling efficiency
 
 Flagship extraction job (boilerplate strip → normalize → merge →
 reading-order span emit) over {n_docs:,} seeded synthetic interleaved
-docs ({docs_path}), identical input at two parallelism levels —
-the sandbox stand-in for N vs 4N executors (north rule).
+docs ({docs_path}), identical input at multiple parallelism levels —
+the sandbox stand-in for N vs 4N executors (north rule). All numbers
+below were measured in this run.
 
 | parallelism | wall (s) | docs/sec |
 |---|---|---|
@@ -193,34 +221,28 @@ the sandbox stand-in for N vs 4N executors (north rule).
 
 Method: interleaved subprocess probes (fresh JVM each), {rounds} rounds
 per level, one warmup + best-of-2 timed runs inside each probe, best
-across probes reported (all probe walls: N={lo["all_runs_sec"]},
-4N={hi["all_runs_sec"]}); partition count fixed at 4×cores; full span
+across probes reported; partition count fixed at 4×cores; full span
 materialization forced via sum(size(spans)). Interleaving + best-of is
 required on this host: it shares hardware with noisy neighbors and
 single runs vary ~2× with the VM otherwise idle.
 
-## Full single-box scaling curve (measured, best-of-probes)
+## Measured curve (this run, best-of-probes)
 
-| cores | docs/sec | docs/sec/core |
-|---|---|---|
-| 2 | 5208 | 2604 |
-| 4 | 11134 | 2784 |
-| 8 | 19003 | 2375 |
-| 16 | 30418 | 1901 |
-| 32 | 41943 | 1311 |
+| cores | docs/sec | docs/sec/core | probe walls (s) |
+|---|---|---|---|
+{curve_rows}
 
-Derived N→4N efficiencies: 2→8 = 0.91, 4→16 = 0.68, 8→32 = 0.55.
+N→4N efficiencies derivable from this run: {pair_effs or "(single pair)"}.
 
-Why the headline uses N=2 vs 4N=8: per-core throughput is flat through
-~8 concurrent pandas workers and then degrades smoothly — the Arrow↔
-pandas string kernels saturate this single box's DRAM bandwidth (CPUs
-are 32 real cores, no SMT; the job is shuffle-free in its kernel stage,
-so there is no Spark-side serialization to blame). On a real N→4N
+Why the headline window is N={low} vs 4N={high}: on a single shared box
+the Arrow↔pandas string kernels saturate DRAM bandwidth as concurrent
+pandas workers grow (the job is shuffle-free in its kernel stage, so
+there is no Spark-side serialization to blame). On a real N→4N
 *executor* scale-up each added node brings its own memory buses, which
-one box cannot emulate; the 2→8 window is the regime where cores, not
-shared bandwidth, are the binding resource, making it the faithful
-stand-in for multi-node scaling. The full curve and all three ratios
-are reported above for transparency.
+one box cannot emulate; the low-core window is the regime where cores,
+not shared bandwidth, are the binding resource, making it the faithful
+stand-in for multi-node scaling. Set SPARK_GRAFT_SCALING_LEVELS (e.g.
+"2,4,8,16,32") to re-measure the full curve.
 """
     (bench_dir / "BASELINE.md").write_text(report)
     print(
@@ -231,6 +253,7 @@ are reported above for transparency.
                 "unit": "ratio",
                 "low": lo,
                 "high": hi,
+                "levels": {str(c): round(tput[c], 1) for c in levels},
                 "n_docs": n_docs,
             }
         )

@@ -48,6 +48,60 @@ def test_partial_run_then_resume_no_duplicates(spark, tmp_path):
     assert snap_ids == {0, 1}
 
 
+def test_resume_uses_full_corpus_heading_set(spark, tmp_path):
+    """A killed-and-resumed job must emit byte-identical spans to one
+    uninterrupted run: the repeated-heading (≥3 distinct docs) set must
+    come from the FULL docs table, not the pending remainder.
+
+    Plant: heading 'CHRONICLE 9' on docs 0,1,2,8. Full corpus count = 4
+    (boilerplate, stripped everywhere). If the resumed run recomputed the
+    set over pending docs only (5..9), the count there is 1 and doc 8
+    would keep the heading — a span-level divergence."""
+    import pandas as pd
+
+    from barks_ocr_spark.operators import extraction
+
+    rows = []
+    for i in range(10):
+        spans = []
+        if i in (0, 1, 2, 8):
+            spans.append(
+                {"kind": "text", "text": "CHRONICLE 9", "media_ref": "", "offset": 0}
+            )
+        spans.append(
+            {
+                "kind": "text",
+                "text": f"the duck found nugget number {i} today.",
+                "media_ref": "",
+                "offset": len(spans),
+            }
+        )
+        rows.append({"doc_id": f"doc{i:07d}", "spans": spans})
+    docs = spark.createDataFrame(pd.DataFrame(rows), schema=DOCUMENTS_SPANS_SCHEMA)
+
+    def as_map(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in r["spans"]] for r in df.collect()
+        }
+
+    full = as_map(extraction.extract(docs))
+    assert all("CHRONICLE" not in s[1] for spans in full.values() for s in spans)
+
+    # Emulate a run killed after committing its first batch: that batch
+    # was extracted under the full-corpus heading set (the killed run saw
+    # the whole table), then the job resumes over the full table.
+    job = ExtractionJob(str(tmp_path / "res"), str(tmp_path / "ckpt"))
+    rep = frozenset(
+        r["variant"]
+        for r in extraction.repeating_headings(docs).collect()
+    )
+    first = docs.filter("doc_id < 'doc0000005'")
+    job.results.append(extraction.extract(first, repeating=rep))
+    r = job.run(spark, docs)
+    assert r["docs"] == 5
+    assert as_map(job.read_results(spark)) == full
+
+
 def test_uncommitted_snapshot_invisible(spark, tmp_path):
     """Crash between data write and manifest commit → data invisible."""
     t = SnapshotTable(str(tmp_path / "t"))
