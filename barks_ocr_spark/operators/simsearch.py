@@ -21,10 +21,6 @@ from pyspark.sql import functions as F
 
 from barks_ocr_spark.operators.cacheutil import persist_tracked as _persist
 
-# Deterministic "random" hyperplanes for sign-LSH: plane p, dim d weight
-# derived from xxhash64 — reproducible across engines and runs.
-
-
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -62,21 +58,46 @@ def brute_force_topk(
     )
 
 
-def sign_lsh_bits(vec: Column, n_planes: int = 16) -> Column:
-    """Sign-LSH signature: bit p = 1 iff dot(vec, plane_p) > 0, with
-    plane_p weights = xxhash64(p, dim) scaled to [-1, 1]. The plane loop
-    unrolls at plan-build time (n_planes is a small constant)."""
+_LCG_M = 2147483647
+
+
+def plane_weights_int(p: int, dim: int) -> list[int]:
+    """Deterministic hyperplane weights in [-1000, 1000] from a pure-
+    integer LCG over (plane, dim) — reproducible in ANY engine (the
+    DuckDB oracle re-derives the identical literals), no hash functions.
+    """
+    out = []
+    for d in range(dim):
+        x = (1103515245 * (p * 8191 + d) + 12345) % _LCG_M
+        out.append(int(x % 2001) - 1000)
+    return out
+
+
+def sign_lsh_bits(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Sign-LSH signature: bit p = 1 iff Σ_d w[p][d] · ⌊v[d]·1e6⌋ > 0.
+
+    Two deliberate choices make this cross-engine exact (and thus fully
+    oracle-able in ANSI SQL) and cheap:
+    - the plane weights are plan-time LITERAL integer arrays (not
+      recomputed per row per plane, as the earlier xxhash64 variant did);
+    - the dot product is exact integer arithmetic on ⌊v·1e6⌋-quantized
+      components, so the sign decision can never diverge between engines
+      on summation order (float folds could flip near-zero signs).
+
+    ``dim`` must equal the embedding length (64 for the driver tables).
+    The plane loop unrolls at plan-build time.
+    """
+    vint = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 1_000_000).cast("long")
+    )
     total = F.lit(0).cast("long")
     for p in range(n_planes):
-        p_lit = F.lit(p)
-        idx = F.sequence(F.lit(0), F.size(vec) - 1)
-        weights = F.transform(
-            idx,
-            lambda d, _p=p_lit: (F.xxhash64(_p, d) % 10007).cast("double") / 10007.0,
+        w = F.array(
+            *[F.lit(v).cast("long") for v in plane_weights_int(p, dim)]
         )
         pdot = F.aggregate(
-            F.zip_with(vec, weights, lambda x, w: x * w),
-            F.lit(0.0),
+            F.zip_with(vint, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         total = total + F.when(pdot > 0, F.lit(1 << p).cast("long")).otherwise(
@@ -91,6 +112,7 @@ def cosine_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -101,7 +123,8 @@ def cosine_pairs(
     v = F.col(vec_col).cast("array<double>")
     with_sig = _persist(  # feeds both self-join sides — compute LSH bits once
         embeddings.select(
-            F.col(id_col).alias("vid"), v.alias("v"), sign_lsh_bits(v, n_planes).alias("sig")
+            F.col(id_col).alias("vid"), v.alias("v"),
+            sign_lsh_bits(v, n_planes, dim).alias("sig"),
         )
     )
     with_sig.count()  # eager: lazy cache would recompute on broadcast side
@@ -126,6 +149,7 @@ def lsh_topk(
     max_hamming: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: prune candidates whose sign-LSH signature is
     > max_hamming bits from the query's, exact-rescore the rest.
@@ -134,11 +158,13 @@ def lsh_topk(
     rescore is the same exact cosine as brute force, so recall failures
     are visible by diffing against ``brute_force_topk`` on a sample.
     """
+    if dim is None:
+        dim = len(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    q_sig = sign_lsh_bits(q, n_planes)
+    q_sig = sign_lsh_bits(q, n_planes, dim)
     v = F.col(vec_col).cast("array<double>")
     with_sig = embeddings.select(
-        F.col(id_col), v.alias("v"), sign_lsh_bits(v, n_planes).alias("sig")
+        F.col(id_col), v.alias("v"), sign_lsh_bits(v, n_planes, dim).alias("sig")
     )
     pruned = with_sig.filter(
         F.bit_count(F.col("sig").bitwiseXOR(q_sig)) <= max_hamming

@@ -595,10 +595,36 @@ def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash bucketed near-dups (hamming ≤ 3). No SQL oracle (xxhash64
-    is Spark-specific) → rows-only check; exactness is covered by pytest
-    against the planted duplicates."""
-    return dedup.simhash_near_duplicates(_doubled_docs(spark, sf_dir), max_hamming=3)
+    """SimHash bucketed near-dups, differentially checked: identical
+    canonical text ⇒ identical simhash ⇒ hamming 0 ⇒ every planted twin
+    pair MUST come out of the pigeonhole-bucketed pair join — so the
+    exact-duplicate pair set is a complete SQL oracle for the verified
+    (fingerprint-equal) projection; a simhash recall regression turns
+    this row red. Natural hamming≤3 pairs of non-identical text use
+    engine-specific xxhash64 bit votes and are asserted in pytest."""
+    docs = _doubled_docs(spark, sf_dir)
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=3)
+    fp = docs.select(
+        "doc_id", F.md5(textstats.canonical_text(F.col("text"))).alias("f")
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("f_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("f_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("f_a") == F.col("f_b"))
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SQL_SIMHASH_DUPS = (
+    _SQL_DOUBLED_CTE
+    + f"""
+, fp AS (SELECT doc_id, md5({_CANON_SQL}) AS f FROM doubled)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+"""
+)
 
 
 TESTDATA_ENTITIES = {
@@ -777,13 +803,43 @@ FROM joined GROUP BY doc_id ORDER BY doc_id
 
 
 def q_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 top-1 fuzzy match (difflib scorer → rows-only check; exactness
-    covered by pytest fixtures)."""
+    """J6+W7 top-1 fuzzy match, exact-match projection: difflib ratio is
+    1.0 ⟺ string equality, so restricting the join's output to its
+    perfect matches gives an exact SQL oracle (equality join + min pos_b
+    tie-break) while the full scoring path still executes — every
+    candidate pair is difflib-scored and the window picks top-1. Sub-1.0
+    ratio values are asserted in pytest fixtures."""
     from barks_ocr_spark.operators import compare
 
     a = _engine_groups(spark, sf_dir, perturb=False)
     b = _engine_groups(spark, sf_dir, perturb=True)
-    return compare.best_fuzzy_match(a, b)
+    out = compare.best_fuzzy_match(a, b)
+    return out.filter(F.col("ratio") == 1.0).select(
+        "doc_id", "panel_num", "pos_a", "pos_b"
+    )
+
+
+_SQL_BEST_FUZZY = """
+WITH chunks AS (
+  SELECT doc_id, i - 1 AS pos,
+    array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    unnest(generate_series(1, greatest(CAST(ceil(len(ws)/8.0) AS INT), 1))) AS t(i)
+), b AS (
+  SELECT doc_id, pos,
+    CASE WHEN doc_id % 5 = 0 AND pos = 0 THEN upper(text) ELSE text END AS text
+  FROM chunks c
+  WHERE NOT (doc_id % 7 = 0
+             AND pos = (SELECT max(pos) FROM chunks c2 WHERE c2.doc_id = c.doc_id))
+), eq AS (
+  SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b,
+         ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.pos ORDER BY b.pos) AS rk
+  FROM chunks a JOIN b ON a.doc_id = b.doc_id AND a.text = b.text
+)
+SELECT doc_id, CAST(1 AS INTEGER) AS panel_num,
+       CAST(pos_a AS INTEGER) AS pos_a, CAST(pos_b AS INTEGER) AS pos_b
+FROM eq WHERE rk = 1
+"""
 
 
 def q_footnote_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,10 +1086,57 @@ ORDER BY score DESC, vec_id LIMIT 10
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH pruned ANN top-k — rows-only check (recall vs brute force
-    asserted in pytest instead)."""
+    """Sign-LSH pruned ANN top-k, with a FULL differential oracle: the
+    signature uses literal integer LCG plane weights and integer-quantized
+    dot products (simsearch.sign_lsh_bits), so DuckDB re-derives the
+    identical signatures, prune set, and rescored top-k — prune + rescore
+    are both checked, not just recall."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
-    return simsearch.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return simsearch.lsh_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=16, max_hamming=6, dim=64
+    )
+
+
+def _lsh_planes_sql(n_planes: int = 16, dim: int = 64) -> str:
+    rows = []
+    for p in range(n_planes):
+        w = simsearch.plane_weights_int(p, dim)
+        rows.append(f"({p}, [{', '.join(str(x) for x in w)}]::BIGINT[])")
+    return ", ".join(rows)
+
+
+_SQL_LSH_TOPK = f"""
+WITH planes(p, w) AS (VALUES {_lsh_planes_sql(16, 64)}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_QUERY_VEC_ID}),
+vint AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
+  FROM embeddings WHERE vec_id <> {_QUERY_VEC_ID}),
+sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(vi, w),
+                                               z -> z[1] * z[2])) > 0
+         THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)
+         AS BIGINT) AS sig
+  FROM vint, planes GROUP BY vec_id),
+qsig AS (
+  SELECT CAST(SUM(CASE WHEN list_sum(list_transform(
+              list_zip(list_transform(qv, x -> CAST(floor(x * 1000000) AS BIGINT)), w),
+              z -> z[1] * z[2])) > 0
+         THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)
+         AS BIGINT) AS sig
+  FROM q, planes)
+SELECT v.vec_id,
+  ROUND(
+    list_sum(list_transform(list_zip(v.v, q.qv), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS score
+FROM vint v JOIN sigs s ON v.vec_id = s.vec_id, q, qsig
+WHERE bit_count(xor(s.sig, qsig.sig)) <= 6
+ORDER BY score DESC, v.vec_id LIMIT 10
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,9 +1250,25 @@ WHERE length(trim(text)) > 0
 
 
 # ════════════════════════════════════════════════════════════════════════
-# Comic-page + media pipelines on datagen fixtures (binary-kernel paths;
-# non-SQL-expressible → rows-only checks, exactness covered by pytest)
+# Comic-page + media pipelines on datagen fixtures (binary-kernel paths).
+# The semantics aren't SQL-expressible, so the oracle is a committed
+# golden parquet produced by the pure-pandas kernels over the identical
+# seeded inputs (scripts/make_goldens.py) — the differential check covers
+# the whole Spark side (mapInPandas plumbing, Arrow transfer, schemas).
 # ════════════════════════════════════════════════════════════════════════
+_GOLDENS_DIR = "/root/repo/goldens"
+
+_SQL_COMIC_SPANS = f"""
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM read_parquet('{_GOLDENS_DIR}/comic_spans.parquet')
+"""
+
+_SQL_MEDIA_FEATURES = f"""
+SELECT doc_id, media_ref, dim, v
+FROM read_parquet('{_GOLDENS_DIR}/media_features.parquet')
+"""
+
+
 def q_comic_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-image bytes → OCR decode → grouping → ordered spans."""
     from barks_ocr_spark.datagen import docs as dg
@@ -1207,24 +1326,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
     "minhash_dups": (q_minhash_dups, _SQL_JACCARD_PAIRS),
-    "simhash_dups": (q_simhash_dups, None),
+    "simhash_dups": (q_simhash_dups, _SQL_SIMHASH_DUPS),
     "entity_rollup": (q_entity_rollup, _SQL_ENTITY_ROLLUP),
     "issue_histogram": (q_issue_histogram, _SQL_ISSUE_HISTOGRAM),
     "topk_cosine": (q_topk_cosine, _SQL_TOPK_COSINE),
-    "lsh_topk": (q_lsh_topk, None),
+    "lsh_topk": (q_lsh_topk, _SQL_LSH_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
     "compare_counters": (q_compare_counters, _SQL_COMPARE),
-    "best_fuzzy_match": (q_best_fuzzy_match, None),
+    "best_fuzzy_match": (q_best_fuzzy_match, _SQL_BEST_FUZZY),
     "entity_corrections": (q_entity_corrections, _SQL_ENTITY_CORRECTIONS),
     "footnote_fold": (q_footnote_fold, _SQL_FOOTNOTE_FOLD),
     "index_search": (q_index_search, _SQL_INDEX_SEARCH),
     "index_integrity": (q_index_integrity, _SQL_INDEX_INTEGRITY),
     "search_all_terms": (q_search_all_terms, _SQL_SEARCH_ALL),
     "context_entities": (q_context_entities, _SQL_CONTEXT_ENTITIES),
-    "comic_spans": (q_comic_spans, None),
-    "media_features": (q_media_features, None),
+    "comic_spans": (q_comic_spans, _SQL_COMIC_SPANS),
+    "media_features": (q_media_features, _SQL_MEDIA_FEATURES),
 }
 
 
