@@ -166,6 +166,7 @@ def extraction_metrics(result: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("pages_processed"),
             F.sum("n_spans").alias("spans_emitted"),
+            F.sum("is_empty").alias("docs_empty"),
             F.avg("is_empty").alias("ocr_empty_rate"),
         )
     )

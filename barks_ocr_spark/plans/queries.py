@@ -1250,6 +1250,282 @@ WHERE length(trim(text)) > 0
 
 
 # ════════════════════════════════════════════════════════════════════════
+# Per-string / layout kernel queries (F4, T7, T8, T11, T12, W3, W4) — the
+# kernels run through operators/textops.py (mapInPandas / applyInPandas);
+# plants are deterministic so every oracle is exact SQL. The corpus is
+# lowercase [a-z ] text with a fixed 31-word vocabulary, which each plant
+# exploits (noted per query).
+# ════════════════════════════════════════════════════════════════════════
+
+# The corpus vocabulary (stable across sf0.001/0.01/0.1 driver tables) +
+# one extra word; planted misspellings below have a unique closest match
+# verified in tests/test_textnorm.py::test_spell_suggest_fixed_mappings.
+SPELL_DICT = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "engine", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: every corpus word is in the dictionary (must pass unchanged —
+    a false rewrite turns the row red); the planted prefix's misspellings
+    have fixed difflib suggestions ('vectqr'→'vector', 'sparc'→'spark'),
+    so the oracle is 'vector spark ' || text."""
+    from barks_ocr_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("vectqr sparc "), F.col("text")).alias("text")
+    )
+    return textops.spell_suggest(docs, SPELL_DICT)
+
+
+_SQL_SPELL_SUGGEST = """
+SELECT doc_id, 'vector spark ' || text AS fixed FROM documents
+"""
+
+
+def q_comparison_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/T6: dash-run fold + whitespace strip + lowercase, with planted
+    em/en-dash runs (corpus has none natively)."""
+    from barks_ocr_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" slow "), F.lit(" —– ")).alias("text"),
+    )
+    return textops.comparison_keys(docs)
+
+
+_SQL_COMPARISON_KEYS = """
+SELECT doc_id,
+  lower(regexp_replace(regexp_replace(
+    replace(text, ' slow ', ' —– '),
+    '[—–−-]+', '-', 'g'), '\\s+', '', 'g')) AS ckey
+FROM documents
+"""
+
+
+def q_sentence_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: planted '. The' sentence breaks (real sentence ends), a
+    terminal '. '-less 'finished.' on doc_id%3==0, and an abbreviation
+    'MR.' on doc_id%3==1 that must NOT fire. The corpus itself has no
+    periods or capitals, so firing ⟺ (text had ' fast ') ∨ doc_id%3==0 —
+    exact SQL, no lookaround needed (DuckDB's RE2 has none)."""
+    from barks_ocr_spark.operators import textops
+
+    planted = F.replace(F.col("text"), F.lit(" fast "), F.lit(". The "))
+    planted = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(planted, F.lit(" finished."))
+    ).when(
+        F.col("doc_id") % 3 == 1, F.concat(planted, F.lit(" MR."))
+    ).otherwise(planted)
+    docs = load(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    return textops.sentence_end_flags(docs)
+
+
+_SQL_SENTENCE_END = """
+SELECT doc_id,
+  (text LIKE '% fast %' OR doc_id % 3 = 0) AS fired
+FROM documents
+"""
+
+
+def q_rewrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: rewrap to a fixed 3-word/2-word line pattern; docs have ≥10
+    words, so line 1 = first 3 words and the last pattern line absorbs
+    the remainder."""
+    from barks_ocr_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    return textops.rewrap(docs, "one two three\nfour five")
+
+
+_SQL_REWRAP = """
+SELECT doc_id,
+  array_to_string(ws[1:3], ' ') || chr(10) || array_to_string(ws[4:len(ws)], ' ')
+    AS wrapped
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+def q_text_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: single-line corpus text against doc-derived boxes. The font
+    model is the deterministic per-char width table (narrow 400 / wide
+    1000 / space 500 / other 700 em-milliunits), font = max(h/1·0.75, 8);
+    the oracle recomputes the same integer width sum in SQL."""
+    from barks_ocr_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.lit(200) + F.col("doc_id") % 300).cast("int").alias("box_w"),
+        F.lit(40).cast("int").alias("box_h"),
+    )
+    return textops.text_fits(docs)
+
+
+_SQL_TEXT_FIT = """
+SELECT doc_id, CAST(200 + doc_id % 300 AS INTEGER) AS box_w,
+  CAST(40 AS INTEGER) AS box_h,
+  ((400 * len(regexp_extract_all(text, '[iljtf]'))
+    + 1000 * len(regexp_extract_all(text, '[mw]'))
+    + 500 * (length(text) - length(replace(text, ' ', '')))
+    + 700 * (length(text)
+             - len(regexp_extract_all(text, '[iljtf]'))
+             - len(regexp_extract_all(text, '[mw]'))
+             - (length(text) - length(replace(text, ' ', ''))))
+   ) / 1000.0 * 30.0) <= (200 + doc_id % 300) * 1.5 AS fits
+FROM documents
+"""
+
+
+def _layout_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc item stream for W3/W4: one item per word,
+    left-x derived from the position (pseudo-random walk with planted
+    column jumps)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(words).alias("pos", "w")
+    ).select(
+        "doc_id",
+        "pos",
+        ((F.col("pos") * F.col("pos") * 31 % 240).cast("double")).alias("x"),
+    )
+
+
+_SQL_LAYOUT_ITEMS_CTE = """
+WITH items AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(((i-1)*(i-1)*31) % 240 AS DOUBLE) AS x
+  FROM (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents),
+    unnest(generate_series(1, n)) AS t(i)
+)
+"""
+
+
+def q_column_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: column label per item — new column when consecutive x jumps ≥
+    min(100, 0.30·page_width); page_width 400 → threshold 100."""
+    from barks_ocr_spark.operators import textops
+
+    return textops.split_columns(_layout_items(spark, sf_dir), page_width=400.0)
+
+
+_SQL_COLUMN_SPLIT = (
+    _SQL_LAYOUT_ITEMS_CTE
+    + """
+, jumps AS (
+  SELECT doc_id, pos, x,
+    CASE WHEN x - lag(x) OVER (PARTITION BY doc_id ORDER BY pos) >= 100
+         THEN 1 ELSE 0 END AS j
+  FROM items
+)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, x,
+  CAST(SUM(j) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS col
+FROM jumps
+"""
+)
+
+
+def q_blockquotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: items indented ≥15pt beyond their column's median left-x
+    (median parity: numpy interpolated == DuckDB median on doubles)."""
+    from barks_ocr_spark.operators import textops
+
+    return textops.blockquotes(_layout_items(spark, sf_dir), page_width=400.0)
+
+
+_SQL_BLOCKQUOTES = (
+    _SQL_LAYOUT_ITEMS_CTE
+    + """
+, jumps AS (
+  SELECT doc_id, pos, x,
+    CASE WHEN x - lag(x) OVER (PARTITION BY doc_id ORDER BY pos) >= 100
+         THEN 1 ELSE 0 END AS j
+  FROM items
+), cols AS (
+  SELECT doc_id, pos, x,
+    CAST(SUM(j) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS col
+  FROM jumps
+)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, x, col,
+  x >= median(x) OVER (PARTITION BY doc_id, col) + 15 AS is_bq
+FROM cols
+"""
+)
+
+
+def q_page_scan_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: prepend a full-page-scan media span (offset -1) for docs in a
+    small scan dim table (every 10th doc) — broadcast left join, then
+    explode for the compare."""
+    docs = _spanized_docs(spark, sf_dir)
+    raw = load(spark, sf_dir, "documents")
+    scans = raw.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("scan_"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
+            "media_ref"
+        ),
+    )
+    out = extraction.inject_page_scans(docs, scans)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+_SQL_PAGE_SCAN_INJECTION = """
+WITH chunks AS (
+  SELECT doc_id, i - 1 AS pos,
+    array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    unnest(generate_series(1, greatest(CAST(ceil(len(ws)/8.0) AS INT), 1))) AS t(i)
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, text,
+       '' AS media_ref, CAST(pos AS INTEGER) AS "offset"
+FROM chunks
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', '',
+       'scan_' || CAST(doc_id AS VARCHAR) || '.png', CAST(-1 AS INTEGER)
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/R6: global rollup of the per-partition lineage metrics over
+    the flagship extraction (partition ids are run-dependent, so the
+    oracled projection aggregates them away; per-partition rows are
+    exercised by test_resume)."""
+    m = extraction.extraction_metrics(extraction.extract(_spanized_docs(spark, sf_dir)))
+    return m.agg(
+        F.sum("pages_processed").alias("pages_processed"),
+        F.sum("spans_emitted").alias("spans_emitted"),
+        F.sum("docs_empty").alias("docs_empty"),
+    )
+
+
+_SQL_EXTRACTION_METRICS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS pages_processed,
+  CAST(SUM(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS spans_emitted,
+  CAST(SUM(CASE WHEN length(trim(text)) > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    AS docs_empty
+FROM documents
+"""
+
+
+# ════════════════════════════════════════════════════════════════════════
 # Comic-page + media pipelines on datagen fixtures (binary-kernel paths).
 # The semantics aren't SQL-expressible, so the oracle is a committed
 # golden parquet produced by the pure-pandas kernels over the identical
@@ -1344,6 +1620,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "context_entities": (q_context_entities, _SQL_CONTEXT_ENTITIES),
     "comic_spans": (q_comic_spans, _SQL_COMIC_SPANS),
     "media_features": (q_media_features, _SQL_MEDIA_FEATURES),
+    "spell_suggest": (q_spell_suggest, _SQL_SPELL_SUGGEST),
+    "comparison_keys": (q_comparison_keys, _SQL_COMPARISON_KEYS),
+    "sentence_end": (q_sentence_end, _SQL_SENTENCE_END),
+    "rewrap": (q_rewrap, _SQL_REWRAP),
+    "text_fit": (q_text_fit, _SQL_TEXT_FIT),
+    "column_split": (q_column_split, _SQL_COLUMN_SPLIT),
+    "blockquotes": (q_blockquotes, _SQL_BLOCKQUOTES),
+    "page_scan_injection": (q_page_scan_injection, _SQL_PAGE_SCAN_INJECTION),
+    "extraction_metrics": (q_extraction_metrics, _SQL_EXTRACTION_METRICS),
 }
 
 

@@ -85,6 +85,7 @@ class ExtractionJob:
                     "snapshot_id",
                     "pages_processed",
                     "spans_emitted",
+                    "docs_empty",
                     "ocr_empty_rate",
                 ),
                 meta={"snapshot_id": sid},

@@ -109,3 +109,12 @@ def test_spell_suggest():
     d = frozenset(["duck", "nugget", "town", "go"])
     out = tn.spell_suggest(s("duk found a nuget", "town.", "xyzzyq stays"), d)
     assert out.tolist() == ["duck found a nugget", "town.", "xyzzyq stays"]
+
+
+def test_spell_suggest_fixed_mappings():
+    """The q_spell_suggest plants rely on these exact difflib choices."""
+    from barks_ocr_spark.plans.queries import SPELL_DICT
+
+    d = frozenset(SPELL_DICT)
+    out = tn.spell_suggest(s("vectqr sparc engin7 table key the a"), d)
+    assert out.tolist() == ["vector spark engine table key the a"]
