@@ -42,6 +42,56 @@ def encode_page(
     return b"".join(parts)
 
 
+# ── I8: rotation-sweep OCR ───────────────────────────────────────────────
+# The reference re-OCRs sound-effect crops at each axis-aligned rotation
+# and keeps the best dash-normalized fuzzy score vs the cleaned text
+# (`src/barks_ocr/tools/florence_check.py:62-77, 250-288`).
+SFX_ROTATIONS = (0, 90, 180, 270)
+
+_DASH_RUN = "—–−-"
+
+
+def _dash_canon(s: str) -> str:
+    import re
+
+    return re.sub(f"[{_DASH_RUN}]+", "-", s)
+
+
+def rotation_score(candidate: str, target: str) -> float:
+    """Similarity used by the sweep: dash runs canonicalized on BOTH
+    sides before scoring (florence_check.py:74-77, 306-316), difflib
+    standing in for thefuzz (same [0,1] contract)."""
+    from difflib import SequenceMatcher
+
+    return SequenceMatcher(None, _dash_canon(candidate), _dash_canon(target)).ratio()
+
+
+def pick_best_rotation(
+    candidates: list[tuple[int, str]], target: str
+) -> tuple[int, float]:
+    """I8 selection: (rotation, score) of the best-scoring rotation's OCR
+    text; ties keep the earliest rotation in sweep order (the reference
+    iterates 0→90→180→270 and replaces only on strict improvement)."""
+    best_rot, best_score = candidates[0][0], -1.0
+    for rot, text in candidates:
+        score = rotation_score(text, target)
+        if score > best_score:
+            best_rot, best_score = rot, score
+    return best_rot, best_score
+
+
+def rotate_text_stub(text: str, rot: int, true_rot: int = 0) -> str:
+    """STUB for 'OCR of a crop rotated by ``rot``': correct text only
+    when the crop is rotated back to its true orientation; other
+    rotations yield deterministic garble (reversed / shifted) — the
+    shape a real engine produces on sideways text."""
+    if rot % 360 == true_rot % 360:
+        return text
+    if (rot - true_rot) % 360 == 180:
+        return text[::-1]
+    return "".join(c if c == " " else chr(((ord(c) - 97 + 7) % 26) + 97) if c.islower() else c for c in text)
+
+
 def decode_page(blob: bytes) -> dict:
     """Unpack an image blob → {page_w, page_h, panels, boxes}.
 

@@ -140,6 +140,77 @@ def reading_order(panel_num: np.ndarray, y0: np.ndarray, x0: np.ndarray) -> np.n
     return ranks
 
 
+def min_rotated_rect(quad: np.ndarray) -> tuple[np.ndarray, float]:
+    """I4: minimum-area rotated rectangle of a 4-point quad + its azimuth.
+
+    Shapely-free reimplementation of `src/barks_ocr/utils/ocr_box.py:
+    25-78`: the min-area rectangle has a side flush with a hull edge, so
+    evaluating the rotated bbox for every candidate point-pair direction
+    (a superset of hull edges for ≤4 points) and keeping the smallest is
+    exact. Azimuth per the reference's formula (`utils/ocr_box.py:60-78`):
+    the angle of the rectangle's LONGER side, folded into (0, 180].
+
+    Returns (corners (4,2) float, azimuth_degrees).
+    """
+    pts = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+    best_area, best_corners = np.inf, None
+    for i in range(4):
+        for j in range(i + 1, 4):
+            d = pts[j] - pts[i]
+            n = np.hypot(*d)
+            if n == 0:
+                continue
+            c, s = d[0] / n, d[1] / n
+            rot = np.array([[c, s], [-s, c]])
+            r = pts @ rot.T
+            lo, hi = r.min(0), r.max(0)
+            area = (hi[0] - lo[0]) * (hi[1] - lo[1])
+            if area < best_area - 1e-9:
+                best_area = area
+                box = np.array(
+                    [[lo[0], lo[1]], [hi[0], lo[1]], [hi[0], hi[1]], [lo[0], hi[1]]]
+                )
+                best_corners = box @ rot
+    bbox = best_corners
+    axis1 = np.hypot(*(bbox[3] - bbox[0]))
+    axis2 = np.hypot(*(bbox[1] - bbox[0]))
+    a, b = (bbox[0], bbox[1]) if axis1 <= axis2 else (bbox[0], bbox[3])
+    angle = np.arctan2(b[1] - a[1], b[0] - a[0])
+    az = np.degrees(angle) if angle > 0 else np.degrees(angle) + 180
+    return bbox, float(az)
+
+
+def ocr_box_shape(quad: np.ndarray) -> tuple[np.ndarray, bool]:
+    """I4 branch logic (`src/barks_ocr/utils/ocr_box.py:25-43`):
+    azimuth within ±5° of {0, 90, 180} → the box is approximately
+    rectangular and the axis-aligned envelope [bl, tr] is used; otherwise
+    keep the 4 rotated-rect corners. Returns (points, is_approx_rect)."""
+    bbox, az = min_rotated_rect(quad)
+    approx = abs(az) < 5.0 or abs(az - 180) < 5.0 or abs(az - 90) < 5.0
+    if approx:
+        env = axis_bbox(np.asarray(quad).reshape(1, 8))[0]
+        return np.array([[env[0], env[1]], [env[2], env[3]]], dtype=np.float64), True
+    return bbox, False
+
+
+def rect_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """I5: min distance between axis-aligned rects (0 when overlapping).
+
+    The reference computes this through edge geometry — facing-edge
+    triangle heights and corner distances (`src/barks_ocr/utils/
+    geometry.py:187-218, 264-325`); for the axis-aligned rectangles it is
+    invoked on, that construction reduces exactly to the closed form
+    ``hypot(x_gap, y_gap)`` with gaps clamped at 0, which vectorizes.
+
+    Shapes: a (n,4) xyxy, b (n,4) xyxy → (n,) float distances.
+    """
+    a = np.asarray(a, dtype=np.float64).reshape(-1, 4)
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4)
+    dx = np.maximum(0.0, np.maximum(a[:, 0] - b[:, 2], b[:, 0] - a[:, 2]))
+    dy = np.maximum(0.0, np.maximum(a[:, 1] - b[:, 3], b[:, 1] - a[:, 3]))
+    return np.hypot(dx, dy)
+
+
 def padded_clipped_bbox(
     quads: np.ndarray, pad: int, image_w: int, image_h: int
 ) -> np.ndarray:

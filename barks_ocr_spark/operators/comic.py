@@ -125,3 +125,50 @@ def rescale_boxes(
 def comic_pipeline(pages: DataFrame, cluster_gap: int = 12) -> DataFrame:
     """pages(doc_id, page_image) → (doc_id, spans), end to end."""
     return groups_to_spans(group_pages(ocr_pages(pages), cluster_gap=cluster_gap))
+
+
+def filter_comic_titles(pages: DataFrame, catalog: DataFrame) -> DataFrame:
+    """F6: keep only pages whose title is a comic in the catalog dim
+    (`src/barks_ocr/pipeline/batch_ocr.py:51-53`'s exclude_non_comics).
+
+    ``catalog``: (title, is_comic). Broadcast left-semi join — the
+    catalog is human-curated and tiny, the pages table never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    comics = F.broadcast(catalog.filter(F.col("is_comic")).select("title"))
+    return pages.join(comics, "title", "left_semi")
+
+
+def promotion_violations(prelim: DataFrame) -> DataFrame:
+    """Docs where MORE than one engine is flagged use_as_final — the
+    invariant the reference asserts per page
+    (`src/barks_ocr/pipeline/final_groups.py:39`:
+    ``assert (not g1) or (not g2)``). Must be empty before promotion."""
+    from pyspark.sql import functions as F
+
+    return (
+        prelim.filter(F.col("use_as_final"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flagged"))
+        .filter(F.col("n_flagged") > 1)
+    )
+
+
+def promote_final_groups(prelim: DataFrame, strict: bool = True) -> DataFrame:
+    """S6: promote exactly one engine's prelim groups per page to final.
+
+    ``prelim``: (doc_id, engine, use_as_final, groups). Per the
+    reference (`src/barks_ocr/pipeline/final_groups.py:37-47`): the
+    flagged engine's groups become final; pages with no flagged engine
+    are 'not ready' and excluded; two flagged engines violate the
+    asserted invariant (checked eagerly when ``strict`` — the Spark
+    analogue of the reference's per-file assert)."""
+    if strict:
+        bad = promotion_violations(prelim).limit(1).collect()
+        if bad:
+            msg = f"doc {bad[0]['doc_id']}: multiple engines flagged use_as_final"
+            raise AssertionError(msg)
+    from pyspark.sql import functions as F
+
+    return prelim.filter(F.col("use_as_final")).select("doc_id", "engine", "groups")

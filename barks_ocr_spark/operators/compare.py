@@ -50,6 +50,8 @@ def similarity_ratio(a: Column, b: Column) -> Column:
                 # text_a = text_b ('' = '') as a perfect match
                 if not isinstance(p, str) or not isinstance(q, str):
                     return 0.0
+                if p == q:  # exact: equality ⟺ ratio 1.0; skips the matcher
+                    return 1.0
                 return SequenceMatcher(None, p, q).ratio()
 
             return pd.Series([ratio(p, q) for p, q in zip(x, y)])
@@ -93,6 +95,44 @@ def compare_counters(compared: DataFrame) -> DataFrame:
     )
 
 
+_THRESH_RATIO_UDFS: dict[float, object] = {}
+
+
+def _thresholded_ratio(a: Column, b: Column, threshold: float) -> Column:
+    """difflib ratio with the standard upper-bound short-circuit: pairs
+    whose real_quick_ratio/quick_ratio (cheap length/bag bounds, both ≥
+    the true ratio) fall below ``threshold`` score -1.0 instead of
+    running the O(len²) matcher. Exactness of the emitted output is
+    preserved (see best_fuzzy_match)."""
+    udf = _THRESH_RATIO_UDFS.get(threshold)
+    if udf is None:
+
+        def _batch(x: pd.Series, y: pd.Series) -> pd.Series:
+            from difflib import SequenceMatcher
+
+            out = []
+            for p, q in zip(x, y):
+                if not isinstance(p, str) or not isinstance(q, str):
+                    out.append(0.0)
+                    continue
+                if p == q:  # exact: equality ⟺ ratio 1.0
+                    out.append(1.0)
+                    continue
+                sm = SequenceMatcher(None, p, q)
+                if (
+                    sm.real_quick_ratio() < threshold
+                    or sm.quick_ratio() < threshold
+                ):
+                    out.append(-1.0)
+                else:
+                    out.append(sm.ratio())
+            return pd.Series(out)
+
+        udf = pandas_udf(_batch, "double")
+        _THRESH_RATIO_UDFS[threshold] = udf
+    return udf(a, b)
+
+
 def best_fuzzy_match(
     engine_a: DataFrame,
     engine_b: DataFrame,
@@ -101,15 +141,40 @@ def best_fuzzy_match(
     """J6+W7: for each group in A, the best-ratio B group in the same
     (doc, panel), kept when ratio ≥ threshold (`tools/ocr_check.py:
     185-218`). Equi-join on (doc, panel) then top-1 per A-group by
-    (ratio desc, pos_b) window."""
+    (ratio desc, pos_b) window.
+
+    Scale shape — the candidate set is |A|×|B| per panel, so scoring is
+    pruned in two exact layers before the O(len²) matcher runs:
+
+    1. JVM length-band prefilter: ratio ≤ 2·min(|a|,|b|)/(|a|+|b|), a
+       pure column expression evaluated in whole-stage codegen — pairs
+       that cannot reach the threshold never cross into Python.
+    2. difflib quick-ratio short-circuit inside the batch (upper bounds
+       again), full ratio only for surviving pairs.
+
+    Both prune only pairs with true ratio < threshold. Emitted rows are
+    unchanged: a row is emitted iff its max-ratio candidate scores ≥
+    threshold, every such candidate survives both prunes (bounds ≥ true
+    ratio), and sub-threshold candidates can never displace a winner —
+    if one had been top-1, the row was filtered in the old plan too.
+    """
     a = engine_a.select(
         "doc_id", "panel_num", F.col("pos").alias("pos_a"), F.col("text").alias("text_a")
     )
     b = engine_b.select(
         "doc_id", "panel_num", F.col("pos").alias("pos_b"), F.col("text").alias("text_b")
     )
-    cand = a.join(b, ["doc_id", "panel_num"]).withColumn(
-        "ratio", similarity_ratio(F.col("text_a"), F.col("text_b"))
+    la, lb = F.length("text_a"), F.length("text_b")
+    bound = F.when(la + lb == 0, F.lit(1.0)).otherwise(
+        2.0 * F.least(la, lb) / (la + lb)
+    )
+    cand = (
+        a.join(b, ["doc_id", "panel_num"])
+        .filter(bound >= threshold)
+        .withColumn(
+            "ratio",
+            _thresholded_ratio(F.col("text_a"), F.col("text_b"), threshold),
+        )
     )
     w = Window.partitionBy("doc_id", "panel_num", "pos_a").orderBy(
         F.desc("ratio"), "pos_b"

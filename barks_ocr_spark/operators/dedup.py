@@ -100,17 +100,43 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
+def hot_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """(shingle, freq) rows the default cap would drop — the audit view
+    for 'log what was dropped' (count() it before a production run)."""
+    sh = shingle_table(docs, text_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > max_shingle_freq)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
-    """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold), exact.
+    """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
 
-    ``max_shingle_freq`` drops super-hot shingles (boilerplate) before the
-    self-join — the skew guard at corpus scale.
+    ``max_shingle_freq`` drops super-hot shingles (boilerplate) before
+    the self-join — the skew guard at corpus scale, ON by default: an
+    uncapped plan self-joins on unboundedly hot shingles and a single
+    boilerplate shingle shared by k docs costs k² join rows. Capped
+    jaccard stays exact for pairs whose shared shingles are all under
+    the cap (denominators use the PRE-cap shingle counts); pairs held
+    together only by boilerplate shingles are deliberately dropped —
+    audit what the cap removes via :func:`hot_shingles`, or pass
+    ``max_shingle_freq=None`` for the exact-but-skew-prone plan.
     """
     # The shingle table feeds both sides of the self-join; persist +
     # eager materialize so the canonicalize/shingle pipeline runs once.

@@ -9,7 +9,7 @@ Here: a DataFrame of (doc_id, issue_type) built from column predicates
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # RE2-compatible forms of the group_checks regexes (no lookbehind), for
@@ -50,6 +50,31 @@ def issue_histogram(issues: DataFrame) -> DataFrame:
     return issues.groupBy("issue_type").agg(F.count("*").alias("n")).orderBy(
         F.desc("n"), "issue_type"
     )
+
+
+def dodgy_group_predicate(
+    panel_col: str = "panel_num",
+    text_col: str = "ai_text",
+    notes_col: str = "notes",
+) -> Column:
+    """F7: a group is dodgy iff it landed in no panel (panel_num == -1)
+    AND it is a page-number note, empty/1-char text, or the 'W'/' '
+    OCR-garbage shapes (`src/barks_ocr/tools/string_replacer.py:91-113`).
+    Length is on the RAW text, emptiness on the trimmed text — mirrors
+    the reference exactly."""
+    text = F.col(text_col)
+    notes = F.coalesce(F.col(notes_col), F.lit(""))
+    return (F.col(panel_col) == -1) & (
+        F.lower(notes).contains("page number")
+        | (F.trim(text) == "")
+        | (F.length(text) == 1)
+        | F.upper(text).isin("W", " ")
+    )
+
+
+def remove_dodgy_groups(groups: DataFrame) -> DataFrame:
+    """F7: drop dodgy groups (pure column predicate — pushes to the scan)."""
+    return groups.filter(~dodgy_group_predicate())
 
 
 def build_queue(issues: DataFrame) -> DataFrame:

@@ -130,6 +130,27 @@ def text_fits(boxes: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def rect_distances(rects: DataFrame) -> DataFrame:
+    """I5: min distance between two axis-aligned rects per row (0 when
+    overlapping). ``rects`` = (doc_id, ax0, ay0, ax1, ay1, bx0, by0,
+    bx1, by1); numpy kernel (kernels/geometry.rect_distance), the
+    reference's edge-geometry construction reduced to closed form."""
+    import numpy as np
+
+    from barks_ocr_spark.kernels import geometry as geo
+
+    def k(b: pd.DataFrame) -> pd.DataFrame:
+        a = np.stack([b["ax0"], b["ay0"], b["ax1"], b["ay1"]], axis=1)
+        bb = np.stack([b["bx0"], b["by0"], b["bx1"], b["by1"]], axis=1)
+        return pd.DataFrame({"doc_id": b["doc_id"], "dist": geo.rect_distance(a, bb)})
+
+    return _map_kernel(
+        rects.select("doc_id", "ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1"),
+        k,
+        "doc_id long, dist double",
+    )
+
+
 def split_columns(items: DataFrame, page_width: float) -> DataFrame:
     """W3: per-doc column labels from consecutive x-jumps. ``items`` =
     (doc_id, pos, x) in reading order; one hash partition on doc_id (the

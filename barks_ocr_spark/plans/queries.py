@@ -581,10 +581,30 @@ WHERE jaccard >= 0.8
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs with the DEFAULT hot-shingle cap (on since round 2); the
+    oracle applies the identical cap — intersections over capped
+    shingles, denominators from pre-cap counts."""
     return dedup.ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8)
 
 
-_SQL_JACCARD_PAIRS = _SQL_SHINGLES_CTE + _SQL_JACCARD_BODY
+_SQL_JACCARD_BODY_CAPPED = f"""
+, hot AS (SELECT shingle FROM sh GROUP BY shingle
+          HAVING COUNT(*) > {dedup.DEFAULT_MAX_SHINGLE_FREQ})
+, shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot))
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS DOUBLE) /
+          (a.n_shingles + b.n_shingles - COUNT(*)) AS jaccard
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles)
+WHERE jaccard >= 0.8
+"""
+
+_SQL_JACCARD_PAIRS = _SQL_SHINGLES_CTE + _SQL_JACCARD_BODY_CAPPED
+
+# minhash verification is uncapped (bands, not shingle frequency, bound
+# its join) → it keeps the uncapped exact-jaccard oracle.
+_SQL_JACCARD_UNCAPPED = _SQL_SHINGLES_CTE + _SQL_JACCARD_BODY
 
 
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,6 +1545,144 @@ FROM documents
 """
 
 
+def q_dodgy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: drop unassigned-panel junk groups. Synthetic group table from
+    documents with planted dodgy shapes: gutter groups (panel -1) on
+    doc%4==0, page-number notes on doc%8==0, 'W' / 1-char texts on
+    doc%12∈{0,4}. Output = the KEPT groups."""
+    docs = load(spark, sf_dir, "documents")
+    groups = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, -1).otherwise(1).cast("int").alias("panel_num"),
+        F.when(F.col("doc_id") % 12 == 0, F.lit("W"))
+        .when(F.col("doc_id") % 12 == 4, F.substring("text", 1, 1))
+        .otherwise(F.col("text"))
+        .alias("ai_text"),
+        F.when(F.col("doc_id") % 8 == 0, F.lit("Contains Page Number note"))
+        .otherwise(F.lit(""))
+        .alias("notes"),
+    )
+    return issues.remove_dodgy_groups(groups)
+
+
+_SQL_DODGY_GROUPS = """
+WITH groups AS (
+  SELECT doc_id,
+    CAST(CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS INTEGER) AS panel_num,
+    CASE WHEN doc_id % 12 = 0 THEN 'W'
+         WHEN doc_id % 12 = 4 THEN substr(text, 1, 1)
+         ELSE text END AS ai_text,
+    CASE WHEN doc_id % 8 = 0 THEN 'Contains Page Number note' ELSE '' END AS notes
+  FROM documents
+)
+SELECT doc_id, panel_num, ai_text, notes FROM groups
+WHERE NOT (panel_num = -1 AND (
+  lower(notes) LIKE '%page number%'
+  OR trim(ai_text) = ''
+  OR length(ai_text) = 1
+  OR upper(ai_text) IN ('W', ' ')))
+"""
+
+
+def q_final_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: use_as_final promotion — engine a flagged on even docs,
+    engine b on odd docs except doc%5==0 ('not ready', excluded); at
+    most one engine flagged per doc (the strict invariant check runs
+    eagerly inside the operator)."""
+    from barks_ocr_spark.operators import comic
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(F.ceil(F.size(words) / F.lit(8)), F.lit(1)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)))
+
+    def eng(name: str, flag) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.lit(name).alias("engine"),
+            flag.alias("use_as_final"),
+            chunks.alias("groups"),
+        )
+
+    prelim = eng("easyocr", F.col("doc_id") % 2 == 0).unionAll(
+        eng("paddleocr", (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 != 0))
+    )
+    final = comic.promote_final_groups(prelim, strict=True)
+    return final.select("doc_id", "engine", F.size("groups").alias("n_groups"))
+
+
+_SQL_FINAL_GROUPS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'easyocr' ELSE 'paddleocr' END AS engine,
+  CAST(greatest(CAST(ceil(len(string_split_regex(trim(text), '\\s+')) / 8.0) AS INT), 1)
+       AS INTEGER) AS n_groups
+FROM documents
+WHERE doc_id % 2 = 0 OR doc_id % 5 <> 0
+"""
+
+
+def q_comic_title_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: broadcast semi-join against a curated catalog dim — titles
+    t0..t36 derived from doc_id, every third title non-comic."""
+    from barks_ocr_spark.operators import comic
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("t"), (F.col("doc_id") % 37).cast("string")).alias("title"),
+    )
+    catalog = (
+        docs.select((F.col("doc_id") % 37).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("t"), F.col("k").cast("string")).alias("title"),
+            (F.col("k") % 3 != 1).alias("is_comic"),
+        )
+    )
+    return comic.filter_comic_titles(pages, catalog).select("doc_id", "title")
+
+
+_SQL_COMIC_TITLE_FILTER = """
+SELECT doc_id, 't' || CAST(doc_id % 37 AS VARCHAR) AS title
+FROM documents WHERE (doc_id % 37) % 3 <> 1
+"""
+
+
+def q_rect_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: rect-rect min distance (0 on overlap) over doc-derived rect
+    pairs; numpy kernel vs the closed-form SQL (identical IEEE ops)."""
+    from barks_ocr_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rects = docs.select(
+        "doc_id",
+        (d % 100).cast("double").alias("ax0"),
+        (d % 80).cast("double").alias("ay0"),
+        (d % 100 + 30).cast("double").alias("ax1"),
+        (d % 80 + 20).cast("double").alias("ay1"),
+        (d * 7 % 150).cast("double").alias("bx0"),
+        (d * 3 % 90).cast("double").alias("by0"),
+        (d * 7 % 150 + 25).cast("double").alias("bx1"),
+        (d * 3 % 90 + 15).cast("double").alias("by1"),
+    )
+    return textops.rect_distances(rects)
+
+
+_SQL_RECT_DISTANCES = """
+SELECT doc_id,
+  sqrt(dx * dx + dy * dy) AS dist
+FROM (
+  SELECT doc_id,
+    greatest(0, greatest(CAST(doc_id % 100 AS DOUBLE) - (doc_id * 7 % 150 + 25),
+                         CAST(doc_id * 7 % 150 AS DOUBLE) - (doc_id % 100 + 30))) AS dx,
+    greatest(0, greatest(CAST(doc_id % 80 AS DOUBLE) - (doc_id * 3 % 90 + 15),
+                         CAST(doc_id * 3 % 90 AS DOUBLE) - (doc_id % 80 + 20))) AS dy
+  FROM documents)
+"""
+
+
 # ════════════════════════════════════════════════════════════════════════
 # Comic-page + media pipelines on datagen fixtures (binary-kernel paths).
 # The semantics aren't SQL-expressible, so the oracle is a committed
@@ -1601,7 +1759,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "fingerprints": (q_fingerprints, _SQL_FINGERPRINTS),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
-    "minhash_dups": (q_minhash_dups, _SQL_JACCARD_PAIRS),
+    "minhash_dups": (q_minhash_dups, _SQL_JACCARD_UNCAPPED),
     "simhash_dups": (q_simhash_dups, _SQL_SIMHASH_DUPS),
     "entity_rollup": (q_entity_rollup, _SQL_ENTITY_ROLLUP),
     "issue_histogram": (q_issue_histogram, _SQL_ISSUE_HISTOGRAM),
@@ -1629,6 +1787,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "blockquotes": (q_blockquotes, _SQL_BLOCKQUOTES),
     "page_scan_injection": (q_page_scan_injection, _SQL_PAGE_SCAN_INJECTION),
     "extraction_metrics": (q_extraction_metrics, _SQL_EXTRACTION_METRICS),
+    "dodgy_groups": (q_dodgy_groups, _SQL_DODGY_GROUPS),
+    "final_groups": (q_final_groups, _SQL_FINAL_GROUPS),
+    "comic_title_filter": (q_comic_title_filter, _SQL_COMIC_TITLE_FILTER),
+    "rect_distances": (q_rect_distances, _SQL_RECT_DISTANCES),
 }
 
 
