@@ -123,12 +123,31 @@ def _filter_boilerplate(flat: pd.DataFrame, repeating: frozenset[str]) -> pd.Dat
     drop_short = pd.Series(False, index=flat.index)
     if len(sub) > 0:
         page_num = tn.is_standalone_page_number(sub)
-        shape = tn.is_running_header_shape(sub)
-        stripped_variant = tn.heading_without_page_num(sub)
-        in_repeating = sub.isin(repeating) | stripped_variant.isin(repeating)
-        running_header = shape & in_repeating
-        allcaps_repeat = tn.is_all_caps_heading(sub) & sub.isin(repeating)
-        drop_short.loc[sub.index] = page_num | running_header | allcaps_repeat
+        drop_short.loc[sub.index] = page_num
+        if repeating:
+            # A span can only be dropped as a repeated header when its
+            # raw or page-num-stripped form is IN the repeating set —
+            # and the stripped form is a substring of the raw text, so
+            # one alternation scan over the small template set prunes
+            # the expensive shape/strip/all-caps passes to the handful
+            # of spans that could match. (The repeating set is the
+            # boilerplate TEMPLATE set — small by construction; with a
+            # pathological thousands-strong set, swap the alternation
+            # for an Aho-Corasick pass.)
+            import re as _re
+
+            rep_alt = "|".join(_re.escape(v) for v in sorted(repeating))
+            maybe = sub.str.contains(rep_alt, regex=True)
+            hdr = sub[maybe]
+            if len(hdr) > 0:
+                shape = tn.is_running_header_shape(hdr)
+                stripped_variant = tn.heading_without_page_num(hdr)
+                in_repeating = hdr.isin(repeating) | stripped_variant.isin(repeating)
+                running_header = shape & in_repeating
+                allcaps_repeat = tn.is_all_caps_heading(hdr) & hdr.isin(repeating)
+                drop_short.loc[hdr.index] = (
+                    drop_short.loc[hdr.index] | running_header | allcaps_repeat
+                )
     reprinted = tn.is_reprinted_standalone(txt)
     rejected = tn.has_rejected_token(txt)
 
@@ -244,7 +263,10 @@ def extract_flat(flat: pd.DataFrame, repeating: frozenset[str]) -> pd.DataFrame:
     flat = _filter_boilerplate(flat, repeating)
     flat = _normalize_text(flat)
     flat = _merge_paragraphs(flat)
-    return _renumber(flat)
+    # _merge_paragraphs returns (doc_id, offset)-sorted output — renumber
+    # in place instead of paying _renumber's defensive re-sort
+    flat["offset"] = flat.groupby("doc_id").cumcount().astype("int64")
+    return flat
 
 
 def nest(flat: pd.DataFrame, doc_ids: pd.Series) -> pd.DataFrame:

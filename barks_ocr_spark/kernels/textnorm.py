@@ -103,11 +103,23 @@ def repair_linebreaks(s: pd.Series) -> pd.Series:
     (`src/barks_ocr/tools/get_title_pages.py:110-113`).
     """
     s = s.fillna("")
-    s = s.str.replace("\u00ad\n", "", regex=False)
-    s = s.str.replace("\u00ad", "", regex=False)
-    s = s.str.replace("-\n", "-", regex=False)
-    s = s.str.replace("\n", " ", regex=False)
-    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+    # Rows already in canonical form (no soft hyphen, no non-space
+    # whitespace, no double/edge spaces) pass through untouched: one
+    # gate scan replaces six full passes for the typical clean majority.
+    # [^\S ] = any whitespace except a plain space (covers tab/newline
+    # AND unicode spaces, exactly what \s+ collapse could change)
+    m = s.str.contains(r"\u00ad|[^\S ]| {2,}|^ | $", regex=True).to_numpy()
+    if not m.any():
+        return s
+    t = s[m]
+    t = t.str.replace("\u00ad\n", "", regex=False)
+    t = t.str.replace("\u00ad", "", regex=False)
+    t = t.str.replace("-\n", "-", regex=False)
+    t = t.str.replace("\n", " ", regex=False)
+    t = t.str.replace(r"\s+", " ", regex=True).str.strip()
+    out = s.to_numpy(copy=True)
+    out[m] = t.to_numpy()
+    return pd.Series(out, index=s.index)
 
 
 # ════════════════════════════════════════════════════════════════════════
@@ -140,13 +152,33 @@ def auto_correct(s: pd.Series) -> pd.Series:
     return out
 
 
+# Vectorized form of the rejected-token test: a space-delimited token
+# whose non-space edge whitespace strips away to a rejected word. The
+# token boundary is a literal space (the reference splits on " "), the
+# inner [\t\n\r\f\v]* mirrors str.strip() on the token, IGNORECASE
+# mirrors .upper(). Parity with the per-token Python form is pinned by
+# test_property_kernels.py::test_rejected_token_regex_parity.
+_REJECTED_TOKEN_RE = re.compile(
+    r"(?:^| )[\t\n\r\f\v]*(?:"
+    + "|".join(re.escape(w) for w in sorted(REJECTED_WORDS))
+    + r")[\t\n\r\f\v]*(?= |$)",
+    re.IGNORECASE,
+)
+
+
 def has_rejected_token(s: pd.Series) -> pd.Series:
     """True when any whitespace token is in REJECTED_WORDS.
 
     Mirrors `src/barks_ocr/pipeline/batch_ocr.py:154-161` (`word_is_ok`):
     a box is rejected wholesale when any word (uppercased, stripped) is in
-    the rejected list.
+    the rejected list. One C-level regex scan, no per-row Python.
     """
+    return s.fillna("").str.contains(_REJECTED_TOKEN_RE.pattern, regex=True, case=False)
+
+
+def has_rejected_token_py(s: pd.Series) -> pd.Series:
+    """Reference-literal per-token implementation (parity oracle for the
+    vectorized regex; not used in the hot path)."""
     rejected = REJECTED_WORDS
 
     def _any_rejected(t: str) -> bool:
@@ -246,7 +278,13 @@ def is_standalone_page_number(s: pd.Series) -> pd.Series:
     """
     t = s.fillna("").str.strip()
     short = (t.str.len() > 0) & (t.str.len() <= MAX_PAGE_NUMBER_LEN)
-    return short & (t.str.fullmatch(r"\d+") | t.str.fullmatch(_ROMAN_RE.pattern, case=False))
+    out = pd.Series(False, index=t.index)
+    if short.any():  # fullmatches only on the ≤8-char subset
+        sub = t[short]
+        out[sub.index] = sub.str.fullmatch(r"\d+") | sub.str.fullmatch(
+            _ROMAN_RE.pattern, case=False
+        )
+    return out
 
 
 def is_running_header_shape(s: pd.Series) -> pd.Series:
@@ -325,10 +363,19 @@ def paragraph_is_open(s: pd.Series) -> pd.Series:
     t = s.fillna("").str.rstrip()
     empty = t.str.len() == 0
     closed = t.str.contains(_PARA_SENTENCE_END_RE.pattern, regex=True)
-    peeled = t.str.replace(_TRAILING_PARENTHETICAL_RE.pattern, "", regex=True).str.rstrip()
-    peel_changed = peeled != t
-    peeled_closed = peeled.str.contains(_PARA_SENTENCE_END_RE.pattern, regex=True)
-    return ~empty & ~closed & ~(peel_changed & peeled_closed)
+    # the parenthetical peel can only change rows containing '(' —
+    # gate three passes (replace + rstrip + contains) on one literal scan
+    peel_hit = pd.Series(False, index=t.index)
+    has_paren = t.str.contains("(", regex=False)
+    if has_paren.any():
+        sub = t[has_paren]
+        peeled = sub.str.replace(
+            _TRAILING_PARENTHETICAL_RE.pattern, "", regex=True
+        ).str.rstrip()
+        peel_changed = peeled != sub
+        peeled_closed = peeled.str.contains(_PARA_SENTENCE_END_RE.pattern, regex=True)
+        peel_hit[sub.index] = peel_changed & peeled_closed
+    return ~empty & ~closed & ~peel_hit
 
 
 def ends_with_soft_word_break(s: pd.Series) -> pd.Series:
@@ -337,7 +384,14 @@ def ends_with_soft_word_break(s: pd.Series) -> pd.Series:
     `books/src/llama-parse-build-epub.py:1310-1315`.
     """
     t = s.fillna("").str.rstrip()
-    return (t.str.len() >= 2) & t.str.contains(r"[0-9A-Za-z]-$", regex=True)
+    out = pd.Series(False, index=t.index)
+    has_dash = t.str.contains("-", regex=False)  # cheap literal gate
+    if has_dash.any():
+        sub = t[has_dash]
+        out[sub.index] = (sub.str.len() >= 2) & sub.str.contains(
+            r"[0-9A-Za-z]-$", regex=True
+        )
+    return out
 
 
 def merge_join(prev: pd.Series, nxt: pd.Series) -> pd.Series:

@@ -68,3 +68,23 @@ def test_comparison_key_invariants(texts):
     assert tn.comparison_key(s).tolist() == tn.comparison_key(spaced).tolist()
     for v in tn.comparison_key(s):
         assert " " not in v and "—" not in v and v == v.lower()
+
+
+def test_rejected_token_regex_parity():
+    """The vectorized rejected-token regex must equal the reference-
+    literal per-token implementation on adversarial shapes."""
+    import pandas as pd
+
+    from barks_ocr_spark.kernels import textnorm as tn
+
+    cases = pd.Series(
+        [
+            "W", " W", "W ", "a W b", "aW", "Wa", "w", "oo", "OO VV", "OO.",
+            "f", "F.", "x | y", "x|y", "a \\ b", "a\\b", "IY \\", "\tW",
+            "a \nW b", "a \nW\t b", "word", "", "  ", "L", "hello L",
+            "W W", "double  space W", "iy", "Iy", "oO", "a­W",
+        ]
+    )
+    fast = tn.has_rejected_token(cases)
+    slow = tn.has_rejected_token_py(cases)
+    assert fast.tolist() == slow.tolist()
