@@ -211,6 +211,68 @@ def rect_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.hypot(dx, dy)
 
 
+def _connected_components(mask: np.ndarray) -> np.ndarray:
+    """8-connected component labels (0 = off) via BFS — cv2-free."""
+    labels = np.zeros(mask.shape, dtype=np.int64)
+    h, w = mask.shape
+    cur = 0
+    for sy, sx in zip(*np.nonzero(mask & (labels == 0))):
+        if labels[sy, sx]:
+            continue
+        cur += 1
+        stack = [(int(sy), int(sx))]
+        labels[sy, sx] = cur
+        while stack:
+            y, x = stack.pop()
+            y0m, y1m = max(0, y - 1), min(h, y + 2)
+            x0m, x1m = max(0, x - 1), min(w, x + 2)
+            for ny in range(y0m, y1m):
+                for nx in range(x0m, x1m):
+                    if mask[ny, nx] and not labels[ny, nx]:
+                        labels[ny, nx] = cur
+                        stack.append((ny, nx))
+    return labels
+
+
+def segment_regions(
+    img: np.ndarray, threshold: int = 235, min_area: int = 1
+) -> np.ndarray:
+    """I7: pixel-level panel/bubble segmentation, cv2-free.
+
+    Reimplements the reference's contour pipeline
+    (`scraps/damishshah_comic_book_reader.py:41-96` via
+    `scraps/speech_bubbles.py`): grey threshold at 235 → connected
+    bright regions → drop any region that fully CONTAINS another
+    candidate (the filterContainingContours innermost-wins rule, which
+    also removes the page background) → sort by the row-major precedence
+    key ``(y // 200) * 200 * img_w + x`` (:34-37).
+
+    Returns (n, 4) int64 xywh boxes in reading order.
+    """
+    g = np.asarray(img)
+    if g.ndim == 3:  # grey = channel mean (stand-in for cvtColor)
+        g = g.mean(axis=2)
+    mask = g > threshold
+    labels = _connected_components(mask)
+    boxes = []
+    for lab in range(1, labels.max() + 1):
+        ys, xs = np.nonzero(labels == lab)
+        if ys.size < min_area:
+            continue
+        x0, y0 = int(xs.min()), int(ys.min())
+        boxes.append((x0, y0, int(xs.max()) - x0 + 1, int(ys.max()) - y0 + 1))
+    if not boxes:
+        return np.zeros((0, 4), dtype=np.int64)
+    b = np.array(boxes, dtype=np.int64)
+    # containment filter: drop boxes strictly containing another box
+    xyxy = np.stack([b[:, 0], b[:, 1], b[:, 0] + b[:, 2], b[:, 1] + b[:, 3]], axis=1)
+    contains = rect_inside_rect(xyxy, xyxy) & ~np.eye(len(b), dtype=bool)
+    keep = ~contains.any(axis=0)  # keep boxes that contain no other box
+    b = b[keep]
+    key = (b[:, 1] // 200) * 200 * g.shape[1] + b[:, 0]
+    return b[np.argsort(key, kind="stable")]
+
+
 def padded_clipped_bbox(
     quads: np.ndarray, pad: int, image_w: int, image_h: int
 ) -> np.ndarray:

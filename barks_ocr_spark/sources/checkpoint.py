@@ -30,14 +30,30 @@ class ExtractionJob:
         self.results = SnapshotTable(result_path)
         self.checkpoints = SnapshotTable(checkpoint_path)
 
-    def pending(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
-        """Docs not yet present in any committed snapshot (R1)."""
+    def pending(
+        self, spark: SparkSession, docs: DataFrame, version_col: str | None = None
+    ) -> DataFrame:
+        """Docs not yet present in any committed snapshot (R1); with
+        ``version_col``, also docs whose input version is NEWER than the
+        version they were last processed at (R2 — the reference's
+        mtime-freshness rule, `pipeline/gemini_grouper.py:131-136`,
+        keyed on an explicit monotonic version instead of wall clock)."""
         done = self.results.read(spark)
         if done is None:
             return docs
-        return docs.join(
-            done.select("doc_id"), "doc_id", "left_anti"
-        )
+        if version_col is not None and version_col in done.columns:
+            latest = done.groupBy("doc_id").agg(
+                F.max(version_col).alias("_done_version")
+            )
+            return (
+                docs.join(latest, "doc_id", "left")
+                .filter(
+                    F.col("_done_version").isNull()
+                    | (F.col(version_col) > F.col("_done_version"))
+                )
+                .drop("_done_version")
+            )
+        return docs.join(done.select("doc_id"), "doc_id", "left_anti")
 
     def run(
         self,
@@ -45,14 +61,19 @@ class ExtractionJob:
         docs: DataFrame,
         page_scans: DataFrame | None = None,
         num_partitions: int | None = None,
+        version_col: str | None = None,
     ) -> dict:
         """Process all pending docs; commit one snapshot + checkpoint rows.
 
         Returns a summary dict. Calling again after success is a no-op
         (zero pending); calling after a mid-run kill re-processes only
-        the uncommitted docs — exactly-once in effect.
+        the uncommitted docs — exactly-once in effect. With
+        ``version_col`` (a monotonic version column on ``docs``),
+        updated docs are re-processed and the version is recorded with
+        the result (R2); read the latest per doc via
+        :meth:`read_results_latest`.
         """
-        pending = self.pending(spark, docs)
+        pending = self.pending(spark, docs, version_col=version_col)
         # The repeated-heading set (≥3 distinct docs) MUST come from the
         # FULL docs table, not the pending remainder: a resumed run that
         # recomputed it over pending-only would classify boilerplate
@@ -69,6 +90,10 @@ class ExtractionJob:
             repeating=repeating,
             num_partitions=num_partitions,
         )
+        if version_col is not None:
+            result = result.join(
+                pending.select("doc_id", version_col), "doc_id"
+            )
         # Materialize once: metrics + data from the same computation.
         result = result.persist()
         try:
@@ -96,6 +121,23 @@ class ExtractionJob:
 
     def read_results(self, spark: SparkSession) -> DataFrame | None:
         return self.results.read(spark)
+
+    def read_results_latest(
+        self, spark: SparkSession, version_col: str
+    ) -> DataFrame | None:
+        """Latest-version row per doc (the R2 view: superseded results
+        stay in earlier snapshots as lineage, like Iceberg time travel)."""
+        done = self.results.read(spark)
+        if done is None:
+            return None
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc(version_col))
+        return (
+            done.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
 
     def read_checkpoints(self, spark: SparkSession) -> DataFrame | None:
         return self.checkpoints.read(spark)
