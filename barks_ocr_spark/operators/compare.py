@@ -186,6 +186,54 @@ def best_fuzzy_match(
     )
 
 
+def missing_panel_rollup(compared: DataFrame) -> DataFrame:
+    """A9: grouped engine-only warnings per doc
+    (`src/barks_ocr/tools/compare.py:212-227`): rows one engine produced
+    and the other didn't, rolled up as (doc_id, n_missing, warnings) —
+    warnings flattened to a sorted CSV string (driver-safe, no arrays)."""
+    only = compared.filter(F.col("status").isin("a_only", "b_only"))
+    warning = F.concat_ws(
+        ":", F.col("panel_num"), F.col("pos"), F.col("status")
+    )
+    return only.groupBy("doc_id").agg(
+        F.count("*").alias("n_missing"),
+        F.array_join(F.sort_array(F.collect_list(warning)), ",").alias("warnings"),
+    )
+
+
+def cache_misses(
+    groups: DataFrame,
+    cache: DataFrame,
+    threshold: float = 85.0,
+    ignore_cache: bool = False,
+) -> DataFrame:
+    """R4: result cache with invalidation
+    (`src/barks_ocr/tools/florence_check.py:642-655, 698-728`): a group
+    needs (re-)checking when it has no cache row, its text changed since
+    caching, or the cached score is below the pass threshold;
+    ``ignore_cache`` bypasses entirely (the --ignore-cache flag).
+
+    ``cache``: (doc_id, group_id, text, score) — checkpoint-table sized,
+    joined broadcast-or-shuffle on the composite key; the expensive
+    checker then runs only on the returned misses.
+    """
+    if ignore_cache:
+        return groups
+    c = cache.select(
+        "doc_id",
+        "group_id",
+        F.col("text").alias("_cached_text"),
+        F.col("score").alias("_cached_score"),
+    )
+    joined = groups.join(c, ["doc_id", "group_id"], "left")
+    miss = (
+        F.col("_cached_text").isNull()
+        | (F.col("_cached_text") != F.col("text"))
+        | (F.col("_cached_score") < threshold)
+    )
+    return joined.filter(miss).drop("_cached_text", "_cached_score")
+
+
 def mismatch_queue(compared: DataFrame) -> DataFrame:
     """The repair-queue sink: deduped, sorted mismatch lines
     (`tools/compare.py:230-242`)."""

@@ -862,6 +862,54 @@ FROM eq WHERE rk = 1
 """
 
 
+def q_missing_panels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-doc engine-only rollup — the perturbed engine drops every
+    doc%7==0 doc's last group, so the oracle knows exactly which
+    (panel, pos, side) warnings appear."""
+    from barks_ocr_spark.operators import compare
+
+    a = _engine_groups(spark, sf_dir, perturb=False)
+    b = _engine_groups(spark, sf_dir, perturb=True)
+    return compare.missing_panel_rollup(compare.positional_compare(a, b))
+
+
+_SQL_MISSING_PANELS = """
+SELECT doc_id, CAST(1 AS BIGINT) AS n_missing,
+  '1:' || CAST(greatest(CAST(ceil(len(ws)/8.0) AS INT), 1) - 1 AS VARCHAR)
+       || ':a_only' AS warnings
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+WHERE doc_id % 7 = 0
+"""
+
+
+def q_cache_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: cache-invalidation join — docs%3==0 have no cache row (miss),
+    docs%5==0 have a stale cached text (miss), docs with cached score
+    < 85 (score = 80 + doc%30 < 85 ⟺ doc%30 < 5) miss; the rest hit."""
+    from barks_ocr_spark.operators import compare
+
+    docs = load(spark, sf_dir, "documents")
+    groups = docs.select(
+        "doc_id", F.lit(0).alias("group_id"), F.col("text").alias("text")
+    )
+    cache = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.lit(0).alias("group_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" stale")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.lit(80.0) + (F.col("doc_id") % 30).cast("double")).alias("score"),
+    )
+    out = compare.cache_misses(groups, cache, threshold=85.0)
+    return out.select("doc_id", "group_id")
+
+
+_SQL_CACHE_MISSES = """
+SELECT doc_id, CAST(0 AS INTEGER) AS group_id FROM documents
+WHERE doc_id % 3 = 0 OR doc_id % 5 = 0 OR (80 + doc_id % 30) < 85
+"""
+
+
 def q_footnote_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 footnote sessionization: 8-word chunks with planted footnote
     labels (pos%4∈{1,2}) and markers on pos%4==1. Chunks carry no edge
@@ -1787,6 +1835,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "blockquotes": (q_blockquotes, _SQL_BLOCKQUOTES),
     "page_scan_injection": (q_page_scan_injection, _SQL_PAGE_SCAN_INJECTION),
     "extraction_metrics": (q_extraction_metrics, _SQL_EXTRACTION_METRICS),
+    "missing_panels": (q_missing_panels, _SQL_MISSING_PANELS),
+    "cache_misses": (q_cache_misses, _SQL_CACHE_MISSES),
     "dodgy_groups": (q_dodgy_groups, _SQL_DODGY_GROUPS),
     "final_groups": (q_final_groups, _SQL_FINAL_GROUPS),
     "comic_title_filter": (q_comic_title_filter, _SQL_COMIC_TITLE_FILTER),
