@@ -127,10 +127,21 @@ def extract(
     page_scans: DataFrame | None = None,
     repeating: frozenset[str] | None = None,
     num_partitions: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Full extraction: returns (doc_id, spans) with the output contract
     of kernels/spans.py (span-sequence equality key: kind, text,
-    media_ref, order)."""
+    media_ref, order).
+
+    ``kernel="arrow"`` (default) runs the pass-2 kernel via mapInArrow on
+    raw RecordBatches (kernels/arrowspans.py): no Python-object span
+    materialization, RE2 string passes on contiguous buffers — ~4×
+    faster per core than the pandas kernel and far lighter on memory
+    bandwidth, which is what multi-core scaling is bound by.
+    ``kernel="pandas"`` keeps the golden pandas path (kernels/spans.py);
+    byte-identical output is pinned by tests/test_arrow_kernel.py and
+    the e2e golden tests.
+    """
     spark = docs.sparkSession
     if repeating is None:
         repeating = frozenset(
@@ -144,12 +155,27 @@ def extract(
         # spread skewed giant docs (single rows) evenly across tasks
         docs = docs.repartition(num_partitions, "doc_id")
 
+    narrow = docs.select("doc_id", "spans")
+    if kernel == "arrow":
+        import pyarrow as pa
+
+        from barks_ocr_spark.kernels import arrowspans
+
+        def _gen_arrow(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            rep = bc.value
+            for batch in batches:
+                yield arrowspans.extract_batch(batch, rep)
+
+        return narrow.mapInArrow(_gen_arrow, DOCUMENTS_SPANS_SCHEMA)
+
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rep = bc.value
         for batch in batches:
             yield span_kernel.extract_documents(batch, rep)
 
-    return docs.select("doc_id", "spans").mapInPandas(_gen, DOCUMENTS_SPANS_SCHEMA)
+    return narrow.mapInPandas(_gen, DOCUMENTS_SPANS_SCHEMA)
 
 
 def extraction_metrics(result: DataFrame) -> DataFrame:

@@ -1,0 +1,181 @@
+"""Byte-identical parity: kernels/arrowspans.py vs the golden pandas
+kernel (kernels/spans.py) — datagen corpus, adversarial edge docs, and
+hypothesis-generated documents.
+
+The arrow kernel is the production fast path of the flagship job; the
+pandas kernel is the spec. Any divergence on (kind, text, media_ref,
+order) is a bug in the arrow translation (usually a Python-`re` vs RE2
+dialect mismatch — see the arrowspans module docstring).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from barks_ocr_spark.kernels import arrowspans as ak
+from barks_ocr_spark.kernels import spans as pk
+
+
+def _spans_key(spans: list[dict]) -> list[tuple]:
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def _run_both(pdf: pd.DataFrame, repeating: frozenset[str]) -> None:
+    golden = pk.extract_documents(pdf, repeating)
+    batch = pa.RecordBatch.from_pandas(
+        pdf[["doc_id", "spans"]], schema=ak.BATCH_ARROW_SCHEMA, preserve_index=False
+    )
+    out = ak.extract_batch(batch, repeating).to_pandas()
+    g = {r.doc_id: _spans_key(r.spans) for r in golden.itertuples()}
+    a = {r.doc_id: _spans_key(list(r.spans)) for r in out.itertuples()}
+    assert set(g) == set(a)
+    for k in g:
+        assert g[k] == a[k], f"doc {k}: {g[k]} != {a[k]}"
+
+
+def _doc(doc_id: str, spans: list[tuple[str, str, str]]) -> dict:
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(spans)
+        ],
+    }
+
+
+def test_datagen_corpus_parity():
+    from barks_ocr_spark.datagen import docs as dg
+
+    pdf = dg.gen_documents(1500, seed=11)
+    rep = pk.repeating_headings_from_flat(pk.flatten(pdf))
+    assert rep, "datagen must exercise the repeating-heading path"
+    _run_both(pdf, rep)
+
+
+def test_edge_docs_parity():
+    docs = [
+        _doc("empty", []),
+        _doc("only_media", [("media", "", "img1"), ("media", "", "img1")]),
+        _doc("media_empty_ref", [("media", "", ""), ("text", "Hello.", "")]),
+        _doc(
+            "merge_chain",
+            [
+                ("text", "The quick brown", ""),
+                ("media", "", "mid"),
+                ("text", "fox jumps over", ""),
+                ("text", "the lazy dog.", ""),
+            ],
+        ),
+        _doc(
+            "soft_hyphen_chain",
+            [("text", "extraor-", ""), ("text", "dinary tale ends.", "")],
+        ),
+        _doc(
+            "boilerplate",
+            [
+                ("text", "12", ""),
+                ("text", "xiv", ""),
+                ("text", "THE HEADER 3", ""),
+                ("text", "Reprinted: from WDC 31", ""),
+                ("text", "Body line one stays. Reprinted: gone\nNext line.", ""),
+                ("text", "a F b", ""),
+                ("text", "keep G0 west!", ""),
+            ],
+        ),
+        _doc(
+            "quotes",
+            [
+                ("text", '"Quoted start" and \'single\' and don\'t stop.', ""),
+                ("text", "'Tis the '90s, 'em all.", ""),
+            ],
+        ),
+        _doc(
+            "whitespace_zoo",
+            [
+                ("text", "  padded  nb thin\ttab\nline  ", ""),
+                ("text", "soft­\nhyphen and bare­shy.", ""),
+                ("text", "\x1c\x1dfile seps\x1e\x1f", ""),
+            ],
+        ),
+        _doc(
+            "open_paren_peel",
+            [
+                ("text", "He said it was fine (mostly)", ""),
+                ("text", "but it was not", ""),
+                ("text", "so there.", ""),
+            ],
+        ),
+        _doc("all_dropped", [("text", "42", ""), ("text", "W", "")]),
+        _doc(
+            "trailing_dollar_dialect",
+            [("text", "ends with dash a-", ""), ("text", "joined tail.", "")],
+        ),
+    ]
+    # a repeated header across ≥3 docs to exercise the repeating set
+    for i in range(3):
+        docs.append(
+            _doc(
+                f"hdr{i}",
+                [("text", f"MY BOOK {i + 1}", ""), ("text", "Body text here.", "")],
+            )
+        )
+    pdf = pd.DataFrame(docs)
+    flat = pk.flatten(pdf)
+    rep = pk.repeating_headings_from_flat(flat)
+    _run_both(pdf, rep)
+
+
+_TEXT_ALPHABET = st.sampled_from(
+    list("aA zZ.!?-\n\t\"'()[]") + ["­", "—", "“", "’", " ", "F", "G0", "12", "Reprinted: "]
+)
+_text = st.lists(_TEXT_ALPHABET, max_size=12).map("".join)
+
+
+@st.composite
+def _docs_frame(draw):
+    n = draw(st.integers(1, 8))
+    docs = []
+    for i in range(n):
+        spans = []
+        m = draw(st.integers(0, 6))
+        for j in range(m):
+            kind = draw(st.sampled_from(["text", "media"]))
+            if kind == "text":
+                spans.append(("text", draw(_text), ""))
+            else:
+                spans.append(("media", "", draw(st.sampled_from(["", "a", "b"]))))
+        docs.append(_doc(f"d{i}", spans))
+    return pd.DataFrame(docs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pdf=_docs_frame(), use_rep=st.booleans())
+def test_hypothesis_parity(pdf, use_rep):
+    rep = (
+        pk.repeating_headings_from_flat(pk.flatten(pdf))
+        if use_rep
+        else frozenset()
+    )
+    _run_both(pdf, rep)
+
+
+def test_spark_arrow_path_matches_pandas_path(spark):
+    from barks_ocr_spark.datagen import docs as dg
+    from barks_ocr_spark.operators import extraction
+    from barks_ocr_spark.schemas import DOCUMENTS_SPANS_SCHEMA
+
+    pdf = dg.gen_documents(400, seed=21)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SPANS_SCHEMA).repartition(8)
+    a = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in extraction.extract(docs, kernel="arrow").collect()
+    }
+    p = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in extraction.extract(docs, kernel="pandas").collect()
+    }
+    assert a == p
