@@ -110,21 +110,188 @@ def _contains(arr: pa.Array, pattern: str, ignore_case: bool = False) -> np.ndar
 def _replace_where(
     arr: pa.Array, mask: np.ndarray, fn: Callable[[str], str]
 ) -> pa.Array:
-    """Apply a per-string Python function to masked rows only.
-
-    The scatter array holds None everywhere else, so untouched rows never
-    round-trip through Python objects.
-    """
+    """Apply a per-string Python function to masked rows only; untouched
+    rows never round-trip through Python objects."""
     idx = np.flatnonzero(mask)
     if idx.size == 0:
         return arr
     gated = pc.take(arr, pa.array(idx, type=pa.int64())).to_pylist()
-    scatter: list[str | None] = [None] * len(arr)
-    for i, v in zip(idx.tolist(), gated):
-        scatter[i] = fn(v)
-    return pc.if_else(
-        pa.array(mask), pa.array(scatter, type=pa.string()), arr
+    return pc.replace_with_mask(
+        arr, pa.array(mask), pa.array([fn(v) for v in gated], type=pa.string())
     )
+
+
+def _vec_where(
+    arr: pa.Array, mask: np.ndarray, vecfn: Callable[[pa.Array], pa.Array]
+) -> pa.Array:
+    """Apply an Arrow-vectorized transform to masked rows only."""
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return arr
+    gated = pc.take(arr, pa.array(idx, type=pa.int64()))
+    return pc.replace_with_mask(arr, pa.array(mask), vecfn(gated))
+
+
+# ── Vectorized curly-quote resolution (T14) ─────────────────────────────
+# Codepoint-level translation of tn._curlify_one: the per-string scan
+# becomes one numpy pass over the concatenated codepoints of all gated
+# rows. Sequential state ("prev effective char", which may itself be a
+# replaced quote) is resolved by a bounded propagation loop over
+# consecutive-quote chains (chains are a few chars long in practice).
+_CP_DQ = np.array([ord('"'), 0x201C, 0x201D], dtype=np.uint32)
+_CP_SQ = np.array([ord("'"), 0x2018, 0x2019], dtype=np.uint32)
+_CP_EMPH = np.array([ord("*"), ord("_")], dtype=np.uint32)
+_CP_OPEN_CTX = np.array(
+    [ord(c) for c in tn._OPEN_CONTEXT], dtype=np.uint32
+)
+_ELISION_WORDS = [
+    np.array([ord(c) for c in w], dtype=np.uint32)
+    for w in ("em", "til", "till", "tis", "cause", "course")
+]
+_MAX_ELISION = max(len(w) for w in _ELISION_WORDS) + 1
+
+
+def _utf8_lengths(cp: np.ndarray) -> np.ndarray:
+    """Per-codepoint UTF-8 byte length."""
+    return (
+        1
+        + (cp >= 0x80).astype(np.int64)
+        + (cp >= 0x800).astype(np.int64)
+        + (cp >= 0x10000).astype(np.int64)
+    )
+
+
+def _curlify_vec(gated: pa.Array) -> pa.Array:
+    """Resolve straight quotes to curly forms on every row of ``gated``."""
+    n_rows = len(gated)
+    lengths = pc.utf8_length(gated).to_numpy(zero_copy_only=False).astype(np.int64)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    total = int(ends[-1]) if n_rows else 0
+    big = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array([0, n_rows], type=pa.int32()), gated), ""
+    )[0].as_py()
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype="<u4").astype(np.uint32)
+    # pad so bounded lookaheads never index past the end
+    cp = np.concatenate([cp, np.zeros(_MAX_ELISION + 1, dtype=np.uint32)])
+
+    row_start = np.repeat(starts, lengths)
+    row_end = np.repeat(ends, lengths)
+    body = cp[:total]
+    is_dq = np.isin(body, _CP_DQ)
+    is_sq = np.isin(body, _CP_SQ)
+    is_quote = is_dq | is_sq
+    if not is_quote.any():
+        return gated
+    is_emph = np.isin(body, _CP_EMPH)
+    open_ctx = np.isin(body, _CP_OPEN_CTX)
+
+    # index of the last non-emphasis char at or before each position
+    idx = np.arange(total, dtype=np.int64)
+    last_nonemph = np.maximum.accumulate(np.where(~is_emph, idx, -1))
+    prev_idx = np.full(total, -1, dtype=np.int64)
+    prev_idx[1:] = last_nonemph[:-1]
+    no_prev = prev_idx < row_start  # start of row (or only emphasis before)
+
+    q = np.flatnonzero(is_quote)
+    qprev = prev_idx[q]
+    q_no_prev = no_prev[q]
+    qprev_safe = np.where(q_no_prev, 0, qprev)
+    prev_is_quote = ~q_no_prev & is_quote[qprev_safe]
+
+    # "opening" before the single-quote elision override
+    opening = np.zeros(q.size, dtype=bool)
+    base = q_no_prev | (~prev_is_quote & open_ctx[qprev_safe])
+    opening[~prev_is_quote] = base[~prev_is_quote]
+
+    # elision check for single quotes: following text matches
+    # \d|(?:em|til|till|tis|cause|course)\b  (IGNORECASE), within the row
+    low = np.where((cp >= 65) & (cp <= 90), cp + 32, cp)
+    is_wordchar = (
+        ((low >= ord("a")) & (low <= ord("z")))
+        | ((cp >= ord("0")) & (cp <= ord("9")))
+        | (cp == ord("_"))
+    )
+
+    def _elides(pos: np.ndarray) -> np.ndarray:
+        nxt = pos + 1
+        in_row = nxt < row_end[pos]
+        out = in_row & (cp[nxt] >= ord("0")) & (cp[nxt] <= ord("9"))
+        for w in _ELISION_WORDS:
+            L = len(w)
+            m = pos + 1 + L <= row_end[pos]
+            for k in range(L):
+                m = m & (low[nxt + k] == w[k])
+            after = nxt + L
+            m = m & ((after >= row_end[pos]) | ~is_wordchar[after])
+            out |= m
+        return out
+
+    # resolve quote-after-quote chains: a left curly form is open context,
+    # a right form is not — propagate until every quote is decided
+    is_left = np.zeros(total, dtype=bool)  # valid only at quote positions
+    resolved = np.zeros(q.size, dtype=bool)
+    resolved[~prev_is_quote] = True
+    sq_mask = is_sq[q]
+    el = np.zeros(q.size, dtype=bool)
+    need_el = ~prev_is_quote & sq_mask & opening
+    if need_el.any():
+        el[need_el] = _elides(q[need_el])
+    opening &= ~el
+    is_left[q[resolved]] = opening[resolved]
+    while not resolved.all():
+        ready = ~resolved & resolved_at(qprev_safe, q, resolved)
+        if not ready.any():  # pragma: no cover - cycles impossible
+            break
+        op = is_left[qprev_safe[ready]]
+        sq_ready = ready & sq_mask
+        if sq_ready.any():
+            sel = sq_ready[ready]
+            elr = np.zeros(int(ready.sum()), dtype=bool)
+            cand = op & sel
+            if cand.any():
+                elr[cand] = _elides(q[ready][cand])
+            op = op & ~elr
+        is_left[q[ready]] = op
+        opening[ready] = op
+        resolved[ready] = True
+
+    out_cp = body.copy()
+    ql = q[is_left[q]]
+    qr = q[~is_left[q]]
+    dq_l = ql[is_dq[ql]]
+    dq_r = qr[is_dq[qr]]
+    sq_l = ql[is_sq[ql]]
+    sq_r = qr[is_sq[qr]]
+    out_cp[dq_l] = 0x201C
+    out_cp[dq_r] = 0x201D
+    out_cp[sq_l] = 0x2018
+    out_cp[sq_r] = 0x2019
+
+    # rebuild the Arrow string array straight from UTF-8 buffers
+    data = out_cp.tobytes().decode("utf-32-le").encode("utf-8")
+    blens = _utf8_lengths(out_cp)
+    byte_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    if total:
+        cum = np.cumsum(blens)
+        byte_offsets[1:] = cum[ends - 1]
+        byte_offsets[1:][lengths == 0] = 0
+        np.maximum.accumulate(byte_offsets, out=byte_offsets)
+    return pa.StringArray.from_buffers(
+        n_rows,
+        pa.py_buffer(byte_offsets.tobytes()),
+        pa.py_buffer(data),
+    )
+
+
+def resolved_at(qprev_safe: np.ndarray, q: np.ndarray, resolved: np.ndarray) -> np.ndarray:
+    """For each quote, is its previous-quote dependency resolved?
+
+    ``qprev_safe`` holds absolute positions; map them back to quote ranks
+    via searchsorted (q is sorted)."""
+    ranks = np.searchsorted(q, qprev_safe)
+    ranks = np.clip(ranks, 0, resolved.size - 1)
+    return resolved[ranks]
 
 
 class _Flat:
@@ -310,9 +477,11 @@ def _normalize_text(flat: _Flat) -> _Flat:
     # auto-correct (F3/T2), gated on a correctable token appearing at all
     gate = _contains(t, _AUTO_CORRECT_GATE) & flat.kind_is_text
     t = _replace_where(t, gate, _auto_correct_one)
-    # curly quotes (T14), gated on any quote char
+    # curly quotes (T14), gated on any quote char; one numpy codepoint
+    # pass over the gated rows (parity with tn._curlify_one is pinned by
+    # test_arrow_kernel.py, incl. hypothesis quote/elision documents)
     gate = _contains(t, _QUOTE_GATE) & flat.kind_is_text
-    t = _replace_where(t, gate, tn._curlify_one)
+    t = _vec_where(t, gate, _curlify_vec)
     # Barks casing (T1)
     t = pc.utf8_upper(t)
     empty = flat.kind_is_text & (

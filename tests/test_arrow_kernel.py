@@ -163,6 +163,34 @@ def test_hypothesis_parity(pdf, use_rep):
     _run_both(pdf, rep)
 
 
+def test_curlify_vec_matches_reference_scan():
+    import random
+
+    import pyarrow as pa
+
+    from barks_ocr_spark.kernels import arrowspans as ak
+    from barks_ocr_spark.kernels import textnorm as tn
+
+    cases = [
+        '"Quoted start" and \'single\' and don\'t stop.',
+        "'Tis the '90s, 'em all.", "''", '""', '"', "'", "", "no quotes",
+        '*"emph then quote"*', "_'underscore'_", 'a"b', ' "b', '("b)',
+        "'til dawn", "'till dawn", "'tis so", "'cause why", "'course!",
+        "'causeway", "'em.", "'emu", "x'9", "don't 'do' \"it\"",
+        '—"dash quote"', "…'ellipsis'", '““already”curly”', "’’",
+        "quote at end'", 'mix "a\'b" c\'d"e', "***'''***", '__"__',
+    ]
+    rng = random.Random(0)
+    alphabet = "aZ '\"*_([—…til causeem0-’“"
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+        for _ in range(800)
+    ]
+    got = ak._curlify_vec(pa.array(cases, type=pa.string())).to_pylist()
+    want = [tn._curlify_one(c) for c in cases]
+    assert got == want
+
+
 def test_spark_arrow_path_matches_pandas_path(spark):
     from barks_ocr_spark.datagen import docs as dg
     from barks_ocr_spark.operators import extraction
