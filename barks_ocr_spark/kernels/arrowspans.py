@@ -615,6 +615,83 @@ def _nest(flat: _Flat, batch: pa.RecordBatch) -> pa.RecordBatch:
     )
 
 
+CANDIDATE_ARROW_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("variant", pa.string())]
+)
+
+
+def heading_candidates_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """Pass-1 candidate pairs (doc_id, variant) for one Arrow batch.
+
+    Same contract as the pandas kernel's heading_variant_candidates (A7,
+    `books/src/book_pages.py:295-321`): for every text span that is
+    running-header shaped or ALL-CAPS (and not a Reprinted caption), emit
+    the trimmed text and its page-number-stripped form, de-duplicated per
+    document. The global ``countDistinct(doc_id) >= 3`` aggregate stays
+    JVM-side (operators/extraction.py) — this kernel only shrinks the
+    full corpus to the tiny candidate set with RE2 passes, replacing the
+    Java-regex explode pass that dominated pass-1 wall time.
+
+    The batch carries (doc_id, texts:list<string>) — the operator
+    projects the span structs down to their text strings JVM-side so the
+    Arrow transfer ships only the bytes this pass reads.
+    """
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], type=pa.string()), pa.array([], type=pa.string())],
+        schema=CANDIDATE_ARROW_SCHEMA,
+    )
+    if batch.num_rows == 0:
+        return empty
+    texts = batch.column("texts")
+    parent_all = pc.list_parent_indices(texts).to_numpy(zero_copy_only=False)
+    flat_txt = pc.fill_null(texts.flatten(), "")
+    if len(flat_txt) == 0:
+        return empty
+    txt = _trim(flat_txt)
+    parent = parent_all
+    tlen = pc.binary_length(txt).to_numpy(zero_copy_only=False)
+    cap = (tlen > 0) & (tlen <= tn.MAX_RUNNING_HEADER_LEN)
+    shape = cap & _contains(txt, _HEADER_SHAPE_RE)
+    allcaps = cap & _contains(txt, "[A-Za-z]") & ~_contains(txt, "[a-z]")
+    cand = (
+        (shape | allcaps)
+        & ~_np_bool(pc.starts_with(txt, tn.REPRINTED_PREFIX))
+        & _contains(txt, "[A-Za-z]")
+    )
+    if not cand.any():
+        return empty
+    keep = pa.array(cand)
+    txt = pc.filter(txt, keep)
+    parent = parent[cand]
+    stripped = _trim(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(txt, _LEADING_PAGE_NUM_RE, ""),
+            _TRAILING_PAGE_NUM_RE,
+            "",
+        )
+    )
+    variants = pa.concat_arrays([_as_array(txt), _as_array(stripped)])
+    parents = np.concatenate([parent, parent])
+    nz = pc.binary_length(variants).to_numpy(zero_copy_only=False) > 0
+    if not nz.all():
+        variants = pc.filter(variants, pa.array(nz))
+        parents = parents[nz]
+    if len(variants) == 0:
+        return empty
+    # batch-local (doc, variant) dedup — shrinks the shuffle feeding the
+    # global aggregate (countDistinct dedups again, so this is purely
+    # a volume optimization)
+    enc = pc.dictionary_encode(variants).indices.to_numpy(zero_copy_only=False)
+    key = parents.astype(np.int64) * (int(enc.max()) + 1) + enc.astype(np.int64)
+    _, first = np.unique(key, return_index=True)
+    sel = pa.array(np.sort(first))
+    doc_ids = pc.take(batch.column("doc_id"), pa.array(parents[np.sort(first)]))
+    return pa.RecordBatch.from_arrays(
+        [_as_array(doc_ids), _as_array(pc.take(variants, sel))],
+        schema=CANDIDATE_ARROW_SCHEMA,
+    )
+
+
 def extract_batch(
     batch: pa.RecordBatch, repeating: frozenset[str]
 ) -> pa.RecordBatch:

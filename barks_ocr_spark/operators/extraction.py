@@ -86,11 +86,44 @@ def heading_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
-def repeating_headings(docs: DataFrame) -> DataFrame:
+def heading_candidates_arrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, variant) candidates via the Arrow kernel (fast path).
+
+    Same output contract as :func:`heading_candidates` (parity pinned by
+    tests/test_arrow_kernel.py) but the per-span regex work runs as RE2
+    passes inside mapInArrow — measured ~2× the JVM-regex pass-1
+    throughput with better core scaling, and it shares the exact
+    pandas-`str.strip` whitespace semantics of the golden kernel instead
+    of re-deriving them in Java regex.
+    """
+    import pyarrow as pa
+
+    from barks_ocr_spark.kernels import arrowspans
+
+    def _gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield arrowspans.heading_candidates_batch(batch)
+
+    # ship only the text strings across the Arrow boundary — pass 1
+    # never reads kind/media_ref/offset bytes
+    texts = F.transform(
+        F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+        lambda s: s["text"],
+    )
+    return docs.select("doc_id", texts.alias("texts")).mapInArrow(
+        _gen, "doc_id string, variant string"
+    )
+
+
+def repeating_headings(docs: DataFrame, kernel: str = "arrow") -> DataFrame:
     """variants appearing on ≥3 distinct docs (A7). Returns DataFrame[variant]."""
+    cand = (
+        heading_candidates_arrow(docs)
+        if kernel == "arrow"
+        else heading_candidates(docs)
+    )
     return (
-        heading_candidates(docs)
-        .groupBy("variant")
+        cand.groupBy("variant")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= tn.RUNNING_HEADER_REPEAT_THRESHOLD)
         .select("variant")
@@ -145,7 +178,7 @@ def extract(
     spark = docs.sparkSession
     if repeating is None:
         repeating = frozenset(
-            r["variant"] for r in repeating_headings(docs).collect()
+            r["variant"] for r in repeating_headings(docs, kernel=kernel).collect()
         )
     bc = spark.sparkContext.broadcast(repeating)
 

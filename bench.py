@@ -98,12 +98,15 @@ def _extraction_throughput(n_cores: int, docs_path: str, n_docs: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(docs_path)
-    # fixed partition count scaled with cores: 4 tasks per core
-    n_parts = n_cores * 4
+    # No forced repartition: the job consumes the scan's natural
+    # partitioning (256 files here; a production table is bucketed by
+    # doc_id). A blanket repartition() is a full-corpus shuffle that
+    # measured 2.87s→4.82s on the kernel stage at 32 cores — pass
+    # num_partitions only when the input is actually skewed.
 
     def once() -> float:
         t0 = time.perf_counter()
-        result = extraction.extract(docs, num_partitions=n_parts)
+        result = extraction.extract(docs)
         # force full materialization of every span (not just row count)
         result.select(F.sum(F.size("spans"))).collect()
         return time.perf_counter() - t0
@@ -121,12 +124,14 @@ def _extraction_throughput(n_cores: int, docs_path: str, n_docs: int) -> dict:
 
 
 def run_scaling(
-    n_docs: int = 60_000, replicate: int = 10, low: int = 2, high: int = 8
+    n_docs: int = 60_000, replicate: int = 40, low: int = 8, high: int = 32
 ) -> None:
-    """Sized so the local[8] run takes ≥60s (FIXTURES.md §5): fixed
+    """Sized so the local[32] run takes ≥15s and local[8] ≥40s: fixed
     per-job overheads (session, broadcast, pass-1 aggregate, Arrow init)
     must be noise relative to kernel time or the efficiency number
-    measures overhead, not scaling."""
+    measures overhead, not scaling. Override the corpus with
+    SPARK_GRAFT_SCALING_REPLICATE (units of 60k docs)."""
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", replicate))
     import pandas as pd  # noqa: F401
 
     from pyspark.sql import functions as F
@@ -221,7 +226,8 @@ below were measured in this run.
 
 Method: interleaved subprocess probes (fresh JVM each), {rounds} rounds
 per level, one warmup + best-of-2 timed runs inside each probe, best
-across probes reported; partition count fixed at 4×cores; full span
+across probes reported; the job consumes the scan's natural partitioning
+(256 parquet files — no forced repartition shuffle); full span
 materialization forced via sum(size(spans)). Interleaving + best-of is
 required on this host: it shares hardware with noisy neighbors and
 single runs vary ~2× with the VM otherwise idle.

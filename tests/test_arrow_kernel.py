@@ -163,6 +163,27 @@ def test_hypothesis_parity(pdf, use_rep):
     _run_both(pdf, rep)
 
 
+def test_heading_candidates_parity():
+    from barks_ocr_spark.datagen import docs as dg
+
+    pdf = dg.gen_documents(800, seed=13)
+    texts = pdf["spans"].map(
+        lambda spans: [s["text"] for s in spans if s["kind"] == "text"]
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(pdf["doc_id"], type=pa.string()),
+            pa.array(texts, type=pa.list_(pa.string())),
+        ],
+        names=["doc_id", "texts"],
+    )
+    got = ak.heading_candidates_batch(batch).to_pandas()
+    want = pk.heading_variant_candidates(pk.flatten(pdf))
+    assert set(zip(got["doc_id"], got["variant"])) == set(
+        zip(want["doc_id"], want["variant"])
+    )
+
+
 def test_curlify_vec_matches_reference_scan():
     import random
 
