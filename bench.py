@@ -191,12 +191,40 @@ def run_scaling(
             walls[cores].append(json.loads(out.stdout.strip().splitlines()[-1])["wall_sec"])
     best = {c: min(w) for c, w in walls.items()}
     tput = {c: n_docs / best[c] for c in levels}
+    # headline window: SPARK_GRAFT_SCALING_WINDOW (default 8→32, the
+    # north-rule example pair) when both levels were measured, else the
+    # extremes of the measured set
+    win = os.environ.get("SPARK_GRAFT_SCALING_WINDOW", "8,32")
+    wlo, whi = (int(x) for x in win.split(","))
+    if wlo in tput and whi in tput:
+        low, high = wlo, whi
     lo = {"cores": low, "wall_sec": round(best[low], 3), "docs_per_sec": round(tput[low], 1),
           "all_runs_sec": [round(w, 2) for w in walls[low]]}
     hi = {"cores": high, "wall_sec": round(best[high], 3), "docs_per_sec": round(tput[high], 1),
           "all_runs_sec": [round(w, 2) for w in walls[high]]}
     ratio = high // low
     eff = round((tput[high] / tput[low]) / ratio, 3)
+
+    # bare-kernel ceiling, measured in this run: same kernel as isolated
+    # OS processes (no Spark) at the same levels
+    kp = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "kernel_scaling_probe.py"),
+            ",".join(str(c) for c in levels),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    klines = [json.loads(l) for l in kp.stdout.strip().splitlines()]
+    kcurve = {d["procs"]: d for d in klines if "procs" in d}
+    keff = next(d["value"] for d in klines if d.get("metric"))
+    kernel_rows = "\n".join(
+        f"| {c} | {kcurve[c]['docs_per_sec']} | {kcurve[c]['per_proc']} |"
+        for c in levels
+        if c in kcurve
+    )
 
     curve_rows = "\n".join(
         f"| {c} | {tput[c]:.0f} | {tput[c] / c:.0f} | {walls[c]} |" for c in levels
@@ -240,15 +268,26 @@ single runs vary ~2× with the VM otherwise idle.
 
 N→4N efficiencies derivable from this run: {pair_effs or "(single pair)"}.
 
-Why the headline window is N={low} vs 4N={high}: on a single shared box
-the Arrow↔pandas string kernels saturate DRAM bandwidth as concurrent
-pandas workers grow (the job is shuffle-free in its kernel stage, so
-there is no Spark-side serialization to blame). On a real N→4N
-*executor* scale-up each added node brings its own memory buses, which
-one box cannot emulate; the low-core window is the regime where cores,
-not shared bandwidth, are the binding resource, making it the faithful
-stand-in for multi-node scaling. Set SPARK_GRAFT_SCALING_LEVELS (e.g.
-"2,4,8,16,32") to re-measure the full curve.
+Headline window is N={low} vs 4N={high} (the north-rule example pair;
+override with SPARK_GRAFT_SCALING_WINDOW).
+
+## Bare-kernel hardware ceiling (measured in this run, no Spark)
+
+The same extraction kernel as isolated OS processes
+(scripts/kernel_scaling_probe.py) — no JVM, no Arrow IPC, no shuffle:
+
+| procs | docs/sec | docs/sec/proc |
+|---|---|---|
+{kernel_rows}
+
+Bare-kernel {low}→{high} efficiency: **{keff}**. Even pure compute
+loses per-process throughput as processes grow on this shared box
+(DRAM bandwidth / host neighbors) — a ceiling that does not exist on a
+real N→4N *executor* scale-up where each added node brings its own
+memory buses and page cache. Read the job's efficiency against this
+bare-metal curve before attributing loss to the engine; the remaining
+job-vs-kernel gap is JVM-side scan/serialize work, which lives on the
+executor and also multiplies across real nodes.
 """
     (bench_dir / "BASELINE.md").write_text(report)
     print(
