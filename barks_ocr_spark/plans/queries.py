@@ -1207,6 +1207,61 @@ ORDER BY score DESC, v.vec_id LIMIT 10
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (simsearch.ivf_topk) with a FULL differential
+    oracle: centroids are literal integer LCG arrays and cell assignment
+    is exact integer argmax (ties → lowest cell), so DuckDB re-derives
+    the identical cells, probe set, and rescored top-k — the inverted-
+    list prune is checked, not just recall."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return simsearch.ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4, dim=64
+    )
+
+
+def _ivf_cents_sql(n_centroids: int = 16, dim: int = 64) -> str:
+    rows = []
+    for c in range(n_centroids):
+        w = simsearch.centroid_ints(c, dim)
+        rows.append(f"({c}, [{', '.join(str(x) for x in w)}]::BIGINT[])")
+    return ", ".join(rows)
+
+
+_SQL_IVF_TOPK = f"""
+WITH cents(c, w) AS (VALUES {_ivf_cents_sql(16, 64)}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_QUERY_VEC_ID}),
+qi AS (SELECT list_transform(qv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qvi
+       FROM q),
+probe AS (
+  SELECT c FROM qi, cents
+  ORDER BY list_sum(list_transform(list_zip(qvi, w), z -> z[1] * z[2])) DESC, c
+  LIMIT 4),
+vint AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
+  FROM embeddings WHERE vec_id <> {_QUERY_VEC_ID}),
+scores AS (
+  SELECT vec_id, c,
+    list_sum(list_transform(list_zip(vi, w), z -> z[1] * z[2])) AS s
+  FROM vint, cents),
+cells AS (
+  SELECT vec_id, min(c) AS cell
+  FROM (SELECT vec_id, c, s, max(s) OVER (PARTITION BY vec_id) AS ms
+        FROM scores) t
+  WHERE s = ms GROUP BY vec_id)
+SELECT v.vec_id,
+  ROUND(
+    list_sum(list_transform(list_zip(v.v, q.qv), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS score
+FROM vint v JOIN cells ce ON v.vec_id = ce.vec_id, q
+WHERE ce.cell IN (SELECT c FROM probe)
+ORDER BY score DESC, v.vec_id LIMIT 10
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over an LSH-bucketed self-join.
 
@@ -1813,6 +1868,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "issue_histogram": (q_issue_histogram, _SQL_ISSUE_HISTOGRAM),
     "topk_cosine": (q_topk_cosine, _SQL_TOPK_COSINE),
     "lsh_topk": (q_lsh_topk, _SQL_LSH_TOPK),
+    "ivf_topk": (q_ivf_topk, _SQL_IVF_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),

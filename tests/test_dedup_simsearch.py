@@ -97,6 +97,41 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert approx == bf
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    emb = _embeddings(spark)
+    q = [1.0, 0.0, 0.0, 0.0]
+    bf = [r["vec_id"] for r in simsearch.brute_force_topk(emb, q, k=3).collect()]
+    # probing every cell degrades IVF gracefully to exact brute force
+    full = [
+        r["vec_id"]
+        for r in simsearch.ivf_topk(
+            emb, q, k=3, n_centroids=8, nprobe=8, dim=4
+        ).collect()
+    ]
+    assert full == bf
+
+
+def test_ivf_probe_prunes_to_query_cells(spark):
+    emb = _embeddings(spark)
+    q = [1.0, 0.0, 0.0, 0.0]
+    probe = simsearch.ivf_probe_cells(q, n_centroids=8, nprobe=2)
+    assert len(probe) == 2 and len(set(probe)) == 2
+    out = simsearch.ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2, dim=4)
+    from pyspark.sql import functions as SF
+
+    cells = (
+        emb.select(
+            "vec_id",
+            simsearch.ivf_cell(
+                SF.col("embedding").cast("array<double>"), 8, 4
+            ).alias("cell"),
+        )
+        .collect()
+    )
+    allowed = {r["vec_id"] for r in cells if r["cell"] in probe}
+    assert {r["vec_id"] for r in out.collect()} <= allowed
+
+
 def test_cosine_pairs_identical_vectors(spark):
     out = simsearch.cosine_pairs(_embeddings(spark), threshold=0.95).collect()
     pairs = {(r["id_a"], r["id_b"]): r["score"] for r in out}
