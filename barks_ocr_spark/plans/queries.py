@@ -27,6 +27,7 @@ from barks_ocr_spark.operators import (
     index,
     issues,
     simsearch,
+    skew,
     textstats,
 )
 
@@ -1361,6 +1362,62 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_book_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip test of the skew module: paginate each span-ized doc
+    into 4-span pages (intra-row, zero shuffle), then reassemble ordered
+    books via skew.assemble_book_spans — output must equal the original
+    spanization, which the oracle re-derives in SQL. Exercises the
+    page_no sort, cross-page offset renumbering, and the empty-page
+    edge."""
+    pages = skew.paginate_spans(_spanized_docs(spark, sf_dir), page_size=4)
+    books = skew.assemble_book_spans(pages)
+    return books.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+_SQL_BOOK_ASSEMBLY = r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(trim(text), '\s+') AS words
+  FROM documents)
+SELECT doc_id, 'text' AS kind,
+  array_to_string(words[i*8+1 : i*8+8], ' ') AS text,
+  '' AS media_ref, CAST(i AS INT) AS offset
+FROM w, UNNEST(range(greatest(CAST(ceil(len(words)/8.0) AS BIGINT), 1))) AS t(i)
+"""
+
+
+def q_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event rollup through skew.salted_join: events.user_id is
+    a hot-key join column (few users own the whole fact table — the
+    driver corpus has ~15 distinct users over 10^3..10^5 events), so the
+    join runs salted on event_id with 8 buckets. Oracle is the plain SQL
+    join — salting must be invisible in the result."""
+    ev = load(spark, sf_dir, "events")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name")
+    )
+    joined = skew.salted_join(ev, cust, on="user_id", salt_src="event_id", buckets=8)
+    return joined.groupBy("c_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+_SQL_SALTED_USER_ROLLUP = """
+SELECT c.c_name AS c_name, COUNT(*) AS n_events,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_name
+"""
+
+
 _SQL_EXTRACT_SPANS = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   'text' AS kind,
@@ -1872,6 +1929,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
+    "book_assembly": (q_book_assembly, _SQL_BOOK_ASSEMBLY),
+    "salted_user_rollup": (q_salted_user_rollup, _SQL_SALTED_USER_ROLLUP),
     "compare_counters": (q_compare_counters, _SQL_COMPARE),
     "best_fuzzy_match": (q_best_fuzzy_match, _SQL_BEST_FUZZY),
     "entity_corrections": (q_entity_corrections, _SQL_ENTITY_CORRECTIONS),
