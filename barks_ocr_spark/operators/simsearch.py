@@ -192,6 +192,60 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Materialize the IVF index: embeddings written partitioned by cell.
+
+    This is the write-time half of the contract :func:`ivf_topk`'s
+    docstring promises: cell assignment happens ONCE here, and probes
+    become parquet partition pruning — a query touches nprobe/n_centroids
+    of the files and never evaluates the centroid argmax at read time.
+    Repartitioning by cell before the write gives one file per cell per
+    shuffle partition rather than every task writing every cell.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    (
+        embeddings.withColumn("cell", ivf_cell(v, n_centroids, dim))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a materialized IVF index (:func:`ivf_write` output).
+
+    The cell filter is a partition-column predicate, so Catalyst prunes
+    to the nprobe probe directories at planning time (PartitionFilters
+    in the scan — pinned by test_ivf_indexed_partition_pruning); the
+    non-probe (n_centroids - nprobe)/n_centroids of the corpus is never
+    read, decoded, or scored."""
+    probe = ivf_probe_cells(query_vec, n_centroids, nprobe)
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (
+        pruned.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

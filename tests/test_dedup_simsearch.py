@@ -137,3 +137,28 @@ def test_cosine_pairs_identical_vectors(spark):
     pairs = {(r["id_a"], r["id_b"]): r["score"] for r in out}
     assert pairs[(0, 3)] == 1.0
     assert all(not (a == 0 and b == 4) for a, b in pairs)  # opposite vector
+
+
+def test_ivf_indexed_matches_on_the_fly(spark, tmp_path):
+    emb = _embeddings(spark)
+    path = str(tmp_path / "ivf_idx")
+    simsearch.ivf_write(emb, path, n_centroids=8, dim=4)
+    q = [1.0, 0.0, 0.0, 0.0]
+    direct = simsearch.ivf_topk(emb, q, k=4, n_centroids=8, nprobe=3, dim=4)
+    indexed = simsearch.ivf_topk_indexed(spark, path, q, k=4, n_centroids=8, nprobe=3)
+    assert sorted(map(tuple, indexed.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_ivf_indexed_partition_pruning(spark, tmp_path):
+    emb = _embeddings(spark)
+    path = str(tmp_path / "ivf_idx")
+    simsearch.ivf_write(emb, path, n_centroids=8, dim=4)
+    out = simsearch.ivf_topk_indexed(
+        spark, path, [1.0, 0.0, 0.0, 0.0], k=4, n_centroids=8, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cell predicate must reach the scan as a partition filter, not
+    # a post-scan Filter over the whole corpus
+    assert "PartitionFilters" in plan
+    partition_filter = plan.split("PartitionFilters", 1)[1][:100]
+    assert "cell" in partition_filter
