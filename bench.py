@@ -56,14 +56,24 @@ def run_headline() -> None:
 
     from barks_ocr_spark.operators.cacheutil import unpersist_intermediates
 
+    # Per query: 2 runs, best reported — the same steady-state
+    # methodology as the scaling probes (BENCH/BASELINE.md): operator
+    # caches are released between runs, so both runs recompute from
+    # parquet and only JVM JIT state carries over. That matches a real
+    # long-lived executor (code compiles once per executor, then hours
+    # of corpus); a single cold run instead measures mostly codegen of
+    # the wide generated expressions on this noisy shared host.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _count(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # release operator-persisted intermediates between queries so one
-        # query's cache doesn't eat the next one's executor memory
-        unpersist_intermediates()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _count(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            # release operator-persisted intermediates so one run's
+            # cache doesn't feed the next (or eat its executor memory)
+            unpersist_intermediates()
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -162,3 +162,5 @@ def test_ivf_indexed_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     partition_filter = plan.split("PartitionFilters", 1)[1][:100]
     assert "cell" in partition_filter
+
+
