@@ -319,6 +319,40 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+_STREAM_SINK_SEQ = [0]
+
+
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming at the driver correctness gate: the
+    watermarked hourly rollup (streaming/incremental.py) drained as a
+    bounded stream (availableNow trigger) into a memory sink; the result
+    must equal the batch SQL aggregation exactly — streaming-vs-batch
+    parity checked by the same oracle as q_events_hourly. Complete
+    output mode so every window (including those still inside the
+    watermark at end-of-input) is emitted."""
+    from barks_ocr_spark.streaming import incremental
+
+    stream = incremental.stream_event_counts(
+        spark, sf_dir, window="1 hour", glob="events.parquet"
+    )
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_events_hourly_sink_{_STREAM_SINK_SEQ[0]}"
+    (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).select(
+        "event_type",
+        F.col("window_start").alias("hour"),
+        "n_events",
+        "total_value",
+    )
+
+
 def q_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
@@ -1930,6 +1964,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
     "book_assembly": (q_book_assembly, _SQL_BOOK_ASSEMBLY),
+    "stream_events_hourly": (q_stream_events_hourly, _SQL_EVENTS_HOURLY),
     "salted_user_rollup": (q_salted_user_rollup, _SQL_SALTED_USER_ROLLUP),
     "compare_counters": (q_compare_counters, _SQL_COMPARE),
     "best_fuzzy_match": (q_best_fuzzy_match, _SQL_BEST_FUZZY),

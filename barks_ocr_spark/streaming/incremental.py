@@ -66,14 +66,20 @@ def stream_event_counts(
     input_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    glob: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event_type (late-data safe)."""
-    events = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        ).parquet(input_dir)
+    """Watermarked tumbling-window counts per event_type (late-data safe).
+
+    ``glob``: optional pathGlobFilter — the file streaming source needs a
+    *directory* basePath, so a single table file inside a multi-table dir
+    is selected with e.g. ``glob="events.parquet"``."""
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
     )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    events = reader.parquet(input_dir)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
