@@ -461,6 +461,43 @@ GROUP BY word, doc_id
 )
 
 
+_BUCKET_SEQ = [0]
+
+
+def q_bucketed_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 index sink as a BUCKETED catalog table: the inverted index is
+    written bucketBy(word) + sortBy(word) once (sources/bucketed.py), so
+    this doc-frequency rollup — and every later search join on word —
+    reads co-located buckets and plans with no Exchange on the index
+    side (plan pinned by tests/test_bucketed.py). The oracle recomputes
+    the statistics from raw tokens: the bucketed round trip must be
+    lossless."""
+    from barks_ocr_spark.sources import bucketed
+
+    docs = load(spark, sf_dir, "documents")
+    _BUCKET_SEQ[0] += 1
+    t = f"bk_word_index_{_BUCKET_SEQ[0]}"
+    bucketed.write_bucketed(
+        index.inverted_index(docs), t, "word", num_buckets=8, sort_col="word"
+    )
+    idx = bucketed.read_table(spark, t)
+    return idx.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.sum("cnt").alias("total_occurrences"),
+    )
+
+
+_SQL_BUCKETED_INDEX_JOIN = (
+    _SQL_TOKENS_CTE
+    + f"""
+SELECT word, COUNT(DISTINCT doc_id) AS doc_freq,
+  CAST(COUNT(*) AS BIGINT) AS total_occurrences
+FROM toks WHERE word <> '' AND word NOT IN ({_STOP_LIST_SQL})
+GROUP BY word
+"""
+)
+
+
 def q_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return index.word_doc_freq(docs).orderBy(F.desc("doc_freq"), "word").limit(50)
@@ -1947,6 +1984,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_json_props": (q_events_json_props, _SQL_EVENTS_JSON),
     "word_index": (q_word_index, _SQL_WORD_INDEX),
     "word_doc_freq": (q_word_doc_freq, _SQL_WORD_DOC_FREQ),
+    "bucketed_index_join": (q_bucketed_index_join, _SQL_BUCKETED_INDEX_JOIN),
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "quality_scores": (q_quality_scores, _SQL_QUALITY),
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),

@@ -1,0 +1,56 @@
+"""Bucketed table storage: pay the shuffle once at write time.
+
+At 100 TB the dominant recurring cost of the index/compare workloads is
+re-shuffling the same big tables on the same keys every run. Bucketed
+parquet tables fix the physical layout at write time — `bucketBy(n, key)`
+hash-partitions rows into n files per write task and records the
+bucketing spec in the catalog — so every later equi-join or aggregation
+on the bucket key reads co-located data and plans with NO Exchange on
+that side (pinned by test_bucketed_join_is_exchange_free).
+
+Intended layouts for this engine:
+- inverted index bucketed+sorted by ``term`` — search joins and
+  doc-frequency rollups shuffle nothing;
+- documents/spans bucketed by ``doc_id`` — the resume anti-join
+  (sources/checkpoint.py) and the compare/verify doc joins co-locate.
+
+Spark bucketing requires a catalog table (`saveAsTable`), not a bare
+path: the bucketing contract lives in the metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (optionally bucket-sorted) parquet
+    table. ``num_buckets`` should give files in the 100 MB–1 GB range at
+    the target scale; sorting within buckets additionally removes the
+    Sort under a sort-merge join on the bucket key."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog is per-session but warehouse directories
+    # persist: an orphaned location from an earlier session blocks
+    # saveAsTable, so clear it explicitly
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.split('.')[-1]}", ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back (bucketing spec comes from the
+    catalog; a plain ``spark.read.parquet(path)`` would lose it)."""
+    return spark.table(table)
