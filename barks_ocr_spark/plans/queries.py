@@ -475,8 +475,10 @@ def q_bucketed_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barks_ocr_spark.sources import bucketed
 
     docs = load(spark, sf_dir, "documents")
+    import os
+
     _BUCKET_SEQ[0] += 1
-    t = f"bk_word_index_{_BUCKET_SEQ[0]}"
+    t = f"bk_word_index_{os.getpid()}_{_BUCKET_SEQ[0]}"
     bucketed.write_bucketed(
         index.inverted_index(docs), t, "word", num_buckets=8, sort_col="word"
     )

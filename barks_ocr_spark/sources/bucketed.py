@@ -20,7 +20,24 @@ path: the bucketing contract lives in the metastore.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Unqualified table names land in this database, whose LOCATION is set
+# explicitly (not the session default spark-warehouse under the driver's
+# cwd — which may not be writable in a hosted driver). Override the root
+# with $SPARK_GRAFT_BUCKETED_DIR; a production deployment points it at
+# the object-store prefix.
+BUCKETED_DB = "barks_bk"
+
+
+def _qualify(spark: SparkSession, table: str) -> str:
+    if "." in table:
+        return table
+    root = os.environ.get("SPARK_GRAFT_BUCKETED_DIR", "/tmp/barks_bk_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {BUCKETED_DB} LOCATION '{root}'")
+    return f"{BUCKETED_DB}.{table}"
 
 
 def write_bucketed(
@@ -35,15 +52,17 @@ def write_bucketed(
     the target scale; sorting within buckets additionally removes the
     Sort under a sort-merge join on the bucket key."""
     spark = df.sparkSession
+    table = _qualify(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # the in-memory catalog is per-session but warehouse directories
-    # persist: an orphaned location from an earlier session blocks
-    # saveAsTable, so clear it explicitly
+    # the in-memory catalog is per-session but table directories persist:
+    # an orphaned location from an earlier session blocks saveAsTable,
+    # so clear it explicitly
     import shutil
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table.split('.')[-1]}", ignore_errors=True)
+    db, name = table.split(".", 1)
+    loc = spark.catalog.getDatabase(db).locationUri
+    shutil.rmtree(f"{urlparse(loc).path}/{name}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
@@ -53,4 +72,4 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucketing spec comes from the
     catalog; a plain ``spark.read.parquet(path)`` would lose it)."""
-    return spark.table(table)
+    return spark.table(_qualify(spark, table))
