@@ -324,10 +324,16 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # lambda-inlined recomputation of the tokenize pipeline): one hash per
     # token row, 64 per-bit vote sums via partial aggregation.
     words = F.split(canonical_text(F.col(text_col)), " ")
-    tok = docs.select(
-        "doc_id", F.explode(words).alias("word")
-    ).filter(F.col("word") != "")
-    h = F.xxhash64(F.col("word"))
+    tok = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        # materialize the hash once per token row: codegen does not CSE
+        # across aggregate children, so an inlined xxhash64(word) would
+        # re-hash the string in every one of the 64 vote sums (same
+        # measured trap as minhash_signatures_from_shingles)
+        .select("doc_id", F.xxhash64(F.col("word")).alias("_h"))
+    )
+    h = F.col("_h")
     # Bit masks as literals (shiftleft needs a constant shift); bit 63 is
     # the long sign bit, hence the negative literal.
     masks = [1 << j for j in range(63)] + [-(1 << 63)]
