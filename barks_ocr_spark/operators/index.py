@@ -61,6 +61,29 @@ def word_doc_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tf_idf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, doc_id, tf_idf) — corpus-weighted term scores:
+    tf_idf = cnt × ln(N / doc_freq), N = corpus document count.
+
+    Plan shape: the inverted index (fact) joins the per-word document
+    frequencies (dim — vocabulary-sized, broadcast) so the fact table
+    never reshuffles; N is a driver scalar from one distributed count,
+    folded in as a literal. ln() is IEEE-deterministic, so the score is
+    exactly reproducible cross-engine (DuckDB oracle)."""
+    from barks_ocr_spark.operators.cacheutil import persist_tracked
+
+    idx = persist_tracked(inverted_index(docs, text_col))
+    n_docs = docs.count()
+    dfreq = (
+        idx.groupBy("word").agg(F.countDistinct("doc_id").alias("_df"))
+    )
+    score = F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("_df"))
+    return (
+        idx.join(F.broadcast(dfreq), "word")
+        .select("word", "doc_id", score.alias("tf_idf"))
+    )
+
+
 def search(index: DataFrame, word: str) -> DataFrame:
     """Term lookup on the index table (the Whoosh-query analogue,
     `src/barks_ocr/tools/whoosh_find.py` behavior): docs containing

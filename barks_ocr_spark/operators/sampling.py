@@ -1,0 +1,55 @@
+"""Deterministic corpus sampling: per-group caps and train/test splits.
+
+Standard training-data-pipeline operators over the documents table.
+Both are DETERMINISTIC functions of the row key (md5-based), never
+``rand()``: a retried task, a re-run, or a different partitioning must
+produce the identical sample — the same exactly-once discipline as
+operators/skew.fact_salt. md5 (not xxhash64) so any engine re-derives
+the identical ordering — the DuckDB oracles replay the exact selection,
+not just its size.
+
+Scale shape: cap_per_group is one window over a (group, rank-key)
+shuffle — no collect, no per-group loops; split_train_test is a pure
+per-row projection (zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _rank_key(id_col: str) -> Column:
+    """Deterministic pseudo-random ordering key: md5 hex of the id."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen pseudo-randomly but
+    deterministically (md5-ranked) — the classic per-domain/per-source
+    document cap that stops one crawl domain from dominating a training
+    mix. Ties are impossible (md5 of distinct ids collides ~never; the
+    id itself is the final tie-break)."""
+    w = Window.partitionBy(group_col).orderBy(_rank_key(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def split_train_test(
+    df: DataFrame, test_frac: float = 0.1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Add a deterministic ``split`` column ('train' | 'test'): a row is
+    test iff the first 4 md5 hex chars of its id fall under
+    floor(test_frac × 65536). Pure projection — no shuffle, no state,
+    stable across runs/partitionings/engines (granularity 1/65536)."""
+    threshold = format(int(test_frac * 65536), "04x")
+    is_test = F.substring(_rank_key(id_col), 1, 4) < F.lit(threshold)
+    return df.withColumn(
+        "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )

@@ -500,6 +500,69 @@ GROUP BY word
 )
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted term scoring over the inverted index (broadcast
+    vocabulary-dim join, fact side never reshuffles)."""
+    docs = load(spark, sf_dir, "documents")
+    out = index.tf_idf(docs)
+    return out.select("word", "doc_id", F.round("tf_idf", 6).alias("tf_idf"))
+
+
+_SQL_TF_IDF = (
+    _SQL_TOKENS_CTE.rstrip()
+    + f""",
+counts AS (
+  SELECT word, doc_id, COUNT(*) AS cnt FROM toks
+  WHERE word <> '' AND word NOT IN ({_STOP_LIST_SQL})
+  GROUP BY word, doc_id),
+dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM counts GROUP BY word),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT c.word, c.doc_id, ROUND(c.cnt * ln(n.n / d.df), 6) AS tf_idf
+FROM counts c JOIN dfreq d USING (word), n
+"""
+)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (sampling.cap_per_group): at most 30 docs
+    per crawl source (the cap BINDS on this corpus: every source holds more), selected by deterministic md5 rank — the oracle
+    replays the EXACT selection, not just the per-group sizes."""
+    from barks_ocr_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.cap_per_group(docs, "source", cap=15)
+
+
+_SQL_DOMAIN_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 15
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold train/test split (zero-shuffle
+    projection), rolled up per (split, lang)."""
+    from barks_ocr_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.split_train_test(docs, test_frac=0.1).groupBy(
+        "split", "lang"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+_SQL_TRAIN_TEST_SPLIT = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+            THEN 'test' ELSE 'train' END AS split,
+  lang, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return index.word_doc_freq(docs).orderBy(F.desc("doc_freq"), "word").limit(50)
@@ -1987,6 +2050,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "word_index": (q_word_index, _SQL_WORD_INDEX),
     "word_doc_freq": (q_word_doc_freq, _SQL_WORD_DOC_FREQ),
     "bucketed_index_join": (q_bucketed_index_join, _SQL_BUCKETED_INDEX_JOIN),
+    "tf_idf": (q_tf_idf, _SQL_TF_IDF),
+    "domain_cap": (q_domain_cap, _SQL_DOMAIN_CAP),
+    "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "quality_scores": (q_quality_scores, _SQL_QUALITY),
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),

@@ -1,0 +1,55 @@
+"""Deterministic sampling operators: per-group caps, train/test split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barks_ocr_spark.operators import sampling
+
+
+def _docs(spark):
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_cap_binds_and_is_subset(spark):
+    docs = _docs(spark)
+    out = sampling.cap_per_group(docs, "source", cap=10)
+    sizes = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"src0": 10, "src1": 10, "src2": 10}
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert {r["doc_id"] for r in out.collect()} <= all_ids
+
+
+def test_cap_deterministic_across_partitionings(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in sampling.cap_per_group(docs.repartition(1), "source", 7).collect()}
+    b = {r["doc_id"] for r in sampling.cap_per_group(docs.repartition(13), "source", 7).collect()}
+    assert a == b
+
+
+def test_split_deterministic_and_disjoint(spark):
+    docs = _docs(spark)
+    out = sampling.split_train_test(docs, test_frac=0.25)
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in sampling.split_train_test(docs.repartition(7), 0.25).collect()}
+    assert a == b
+    assert {s for _, s in a} == {"train", "test"}
+
+
+def test_split_is_shuffle_free(spark):
+    plan = (
+        sampling.split_train_test(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_split_frac_tracks_threshold(spark):
+    rows = [(i,) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long")
+    out = sampling.split_train_test(docs, test_frac=0.1)
+    n_test = out.filter(F.col("split") == "test").count()
+    assert 300 <= n_test <= 500  # ~10% of 4000, md5-binomial spread
