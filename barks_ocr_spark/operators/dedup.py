@@ -332,13 +332,21 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # re-hash the string in every one of the 64 vote sums (same
         # measured trap as minhash_signatures_from_shingles)
         .select("doc_id", F.xxhash64(F.col("word")).alias("_h"))
+        # pre-aggregate token multiplicity with ONE counter, then run
+        # the 64 vote sums weighted by count over the collapsed table:
+        # Σ_tokens f(h) ≡ Σ_h cnt·f(h) exactly (pure regrouping), and
+        # the wide aggregate sees |distinct (doc, h)| rows instead of
+        # |tokens| (signature stage measured 10.2s → 4.5s cold at sf0.1;
+        # the remainder is the canonicalize/explode scan, not the votes)
+        .groupBy("doc_id", "_h")
+        .agg(F.count("*").alias("_c"))
     )
-    h = F.col("_h")
+    h, c = F.col("_h"), F.col("_c")
     # Bit masks as literals (shiftleft needs a constant shift); bit 63 is
     # the long sign bit, hence the negative literal.
     masks = [1 << j for j in range(63)] + [-(1 << 63)]
     votes = [
-        F.sum(F.when(h.bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)).alias(
+        F.sum(F.when(h.bitwiseAND(F.lit(m).cast("long")) != 0, c).otherwise(-c)).alias(
             f"v{j}"
         )
         for j, m in enumerate(masks)
