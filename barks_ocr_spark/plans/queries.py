@@ -353,6 +353,44 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState first-per-fingerprint dedup
+    (streaming/stateful.py) at the driver gate: documents stream in with
+    each row doubled in-stream (explode → planted duplicate ids), the
+    state store keeps the first doc per content fingerprint, and the
+    drained result must equal the batch SQL answer. Within one
+    availableNow batch 'first' is min(doc_id) by the operator's sorted
+    scan — deterministic, so the oracle is exact."""
+    from barks_ocr_spark.operators.textstats import canonical_text
+    from barks_ocr_spark.streaming import stateful
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    doubled = docs.select(
+        F.explode(F.array(F.col("doc_id"), F.col("doc_id") + 1000000)).alias(
+            "doc_id"
+        ),
+        F.md5(canonical_text(F.col("text"))).alias("fp"),
+    )
+    out = stateful.stream_first_per_fingerprint(doubled)
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_dedup_sink_{_STREAM_SINK_SEQ[0]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 def q_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
@@ -646,6 +684,11 @@ _CANON_SQL = (
 )
 
 _SQL_FINGERPRINTS = f"SELECT doc_id, md5({_CANON_SQL}) AS fp FROM documents"
+
+_SQL_STREAM_STATEFUL_DEDUP = f"""
+SELECT md5({_CANON_SQL}) AS fp, MIN(doc_id) AS doc_id, TRUE AS is_first
+FROM documents GROUP BY 1
+"""
 
 
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2071,6 +2114,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
     "book_assembly": (q_book_assembly, _SQL_BOOK_ASSEMBLY),
     "stream_events_hourly": (q_stream_events_hourly, _SQL_EVENTS_HOURLY),
+    "stream_stateful_dedup": (q_stream_stateful_dedup, _SQL_STREAM_STATEFUL_DEDUP),
     "salted_user_rollup": (q_salted_user_rollup, _SQL_SALTED_USER_ROLLUP),
     "compare_counters": (q_compare_counters, _SQL_COMPARE),
     "best_fuzzy_match": (q_best_fuzzy_match, _SQL_BEST_FUZZY),
