@@ -1,0 +1,72 @@
+"""Plan-shape pins: the scale-critical physical-plan properties.
+
+Correctness tests prove the answers right; these prove the plans stay
+the plans we designed — a regression that silently adds a shuffle to the
+kernel pass or stops broadcasting a dim would still return correct rows
+while becoming a 100 TB disaster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barks_ocr_spark.operators import extraction
+from barks_ocr_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_kernel_pass_has_no_shuffle(spark):
+    docs = Q._spanized_docs(spark, SF)
+    # pass 2 with a precomputed heading set: pure Scan → MapInArrow
+    plan = _plan(extraction.extract(docs, repeating=frozenset()))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_extract_spans_scan_prunes_columns(spark):
+    docs = Q._spanized_docs(spark, SF)
+    plan = _plan(extraction.extract(docs, repeating=frozenset()))
+    # only doc_id + text feed the spanizer; the scan must not read the
+    # other document columns (lang, source, n_chars)
+    scan = plan.split("FileScan", 1)[1][:400]
+    assert "lang" not in scan and "n_chars" not in scan
+
+
+def test_shipping_priority_broadcasts_dims(spark):
+    plan = _plan(Q.q_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shipping_priority_pushes_filters_to_scan(spark):
+    plan = _plan(Q.q_shipping_priority(spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least one scan carries a real pushed predicate, not just []
+    assert any(
+        "PushedFilters: [I" in seg or "PushedFilters: [Less" in seg
+        or "PushedFilters: [Greater" in seg or "PushedFilters: [EqualTo" in seg
+        for seg in plan.split("FileScan")[1:]
+    )
+
+
+def test_word_index_aggregates_partially(spark):
+    plan = _plan(Q.q_word_index(spark, SF))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_minhash_signature_agg_is_partial(spark):
+    from barks_ocr_spark.operators import dedup
+
+    docs = Q.load(spark, SF, "documents")
+    sh = dedup.shingle_table(docs).select("doc_id", "shingle")
+    plan = _plan(dedup.minhash_signatures_from_shingles(sh, k=8))
+    assert "partial_min" in plan
+
+
+def test_topk_cosine_is_takeordered_not_full_sort(spark):
+    plan = _plan(Q.q_topk_cosine(spark, SF))
+    assert "TakeOrderedAndProject" in plan
