@@ -41,6 +41,51 @@ def cap_per_group(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: Column | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    training context window its START offset falls in when the corpus is
+    laid out in a deterministic pseudo-random order (md5 rank) and
+    chunked every ``budget`` tokens — the standard pretraining batch
+    layout, as a pure window computation.
+
+    Scale shape: packing is per-shard (``shard = id % n_shards``), so the
+    only shuffle is the shard hash-partition and the prefix-sum window
+    runs within each shard independently — at corpus scale shards are
+    the unit of parallelism AND the unit of reproducibility (adding a
+    shard never reorders another shard's packs).
+
+    ``size_col`` defaults to the BPE-ish regex token count
+    (textstats.token_counts semantics). Output: (doc_id, shard, pack_id,
+    n_tokens)."""
+    if size_col is None:
+        from barks_ocr_spark.operators.textstats import BPE_TOKEN_RE
+
+        size_col = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    sized = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        size_col.cast("long").alias("n_tokens"),
+        _rank_key(id_col).alias("_rk"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_rk", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    pack = F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("bigint")
+    return sized.select(
+        id_col, "shard", pack.alias("pack_id"), "n_tokens"
+    )
+
+
 def split_train_test(
     df: DataFrame, test_frac: float = 0.1, id_col: str = "doc_id"
 ) -> DataFrame:

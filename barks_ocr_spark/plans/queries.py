@@ -601,6 +601,34 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (sampling.pack_documents):
+    per-shard deterministic order + token prefix-sum → context-window
+    assignment; the oracle replays the exact same windows in SQL."""
+    from barks_ocr_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.pack_documents(docs, budget=2048, n_shards=16)
+
+
+_SQL_PACK_DOCUMENTS = """
+WITH sized AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY rk, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized)
+SELECT doc_id, shard,
+  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 def q_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return index.word_doc_freq(docs).orderBy(F.desc("doc_freq"), "word").limit(50)
@@ -2095,6 +2123,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucketed_index_join": (q_bucketed_index_join, _SQL_BUCKETED_INDEX_JOIN),
     "tf_idf": (q_tf_idf, _SQL_TF_IDF),
     "domain_cap": (q_domain_cap, _SQL_DOMAIN_CAP),
+    "pack_documents": (q_pack_documents, _SQL_PACK_DOCUMENTS),
     "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "quality_scores": (q_quality_scores, _SQL_QUALITY),

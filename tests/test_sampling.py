@@ -53,3 +53,30 @@ def test_split_frac_tracks_threshold(spark):
     out = sampling.split_train_test(docs, test_frac=0.1)
     n_test = out.filter(F.col("split") == "test").count()
     assert 300 <= n_test <= 500  # ~10% of 4000, md5-binomial spread
+
+
+def test_pack_documents_properties(spark):
+    rows = [(i, "word " * (i % 50 + 1)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.pack_documents(docs, budget=100, n_shards=4)
+    rowsc = out.collect()
+    assert len(rowsc) == 200  # every doc assigned exactly once
+    # pack ids contiguous from 0 within each shard
+    by_shard = {}
+    for r in rowsc:
+        by_shard.setdefault(r["shard"], set()).add(r["pack_id"])
+    for shard, packs in by_shard.items():
+        assert packs == set(range(len(packs)))
+    # deterministic across partitionings
+    again = sampling.pack_documents(docs.repartition(7), budget=100, n_shards=4).collect()
+    assert sorted(map(tuple, rowsc)) == sorted(map(tuple, again))
+
+
+def test_pack_start_offset_semantics(spark):
+    # 3 docs of 60 tokens in one shard, budget 100: starts at 0, 60, 120
+    # → packs 0, 0, 1 (concat-and-chunk assigns by START offset)
+    rows = [(0, "tok " * 60), (4, "tok " * 60), (8, "tok " * 60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.pack_documents(docs, budget=100, n_shards=4)
+    packs = sorted(r["pack_id"] for r in out.collect())
+    assert packs == [0, 0, 1]
