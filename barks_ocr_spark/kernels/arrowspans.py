@@ -30,6 +30,7 @@ test-pinned, not assumed.
 from __future__ import annotations
 
 import re
+import unicodedata
 from collections.abc import Callable, Sequence
 
 import numpy as np
@@ -51,7 +52,9 @@ _WS_NO_SPACE = (
 _TRIM_RE = rf"^{_WS}+|{_WS}+$"
 _RTRIM_RE = rf"{_WS}+$"
 
-_PAGE_NUM_TOKEN = r"(?:[ivxlcdmIVXLCDM]{1,8}|\d{1,3})"
+# \p{Nd}, not \d: RE2's \d is ASCII-only while Python re's \d is
+# exactly Unicode category Nd — the golden kernel's dialect.
+_PAGE_NUM_TOKEN = r"(?:[ivxlcdmIVXLCDM]{1,8}|\p{Nd}{1,3})"
 _HEADER_SHAPE_RE = rf"^(?:{_PAGE_NUM_TOKEN}{_WS}+\S.*|\S.*{_WS}+{_PAGE_NUM_TOKEN})$"
 _LEADING_PAGE_NUM_RE = rf"^{_PAGE_NUM_TOKEN}{_WS}+"
 _TRAILING_PAGE_NUM_RE = rf"{_WS}+{_PAGE_NUM_TOKEN}$"
@@ -151,6 +154,39 @@ _ELISION_WORDS = [
 _MAX_ELISION = max(len(w) for w in _ELISION_WORDS) + 1
 
 
+_NONASCII_CLASS_CACHE: dict[int, tuple[bool, bool]] = {}
+
+
+def _nonascii_word_masks(cp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(is_digit, is_wordchar) for codepoints >127, matching Python re's
+    Unicode dialect: ``\\d`` = category Nd exactly; ``\\w`` =
+    ``ch.isalnum() or ch == '_'`` (CPython sre's unicode word test).
+    ASCII stays in the caller's branchless masks; this probes only the
+    batch's unique non-ASCII codepoints, cached process-wide."""
+    dig = np.zeros(cp.shape, dtype=bool)
+    word = np.zeros(cp.shape, dtype=bool)
+    hi = cp > 127
+    if not hi.any():
+        return dig, word
+    digs: list[int] = []
+    words: list[int] = []
+    for u in np.unique(cp[hi]).tolist():
+        t = _NONASCII_CLASS_CACHE.get(u)
+        if t is None:
+            ch = chr(u)
+            t = (unicodedata.category(ch) == "Nd", ch.isalnum())
+            _NONASCII_CLASS_CACHE[u] = t
+        if t[0]:
+            digs.append(u)
+        if t[1]:
+            words.append(u)
+    if digs:
+        dig = np.isin(cp, np.array(digs, dtype=np.uint32))
+    if words:
+        word = np.isin(cp, np.array(words, dtype=np.uint32))
+    return dig, word
+
+
 def _utf8_lengths(cp: np.ndarray) -> np.ndarray:
     """Per-codepoint UTF-8 byte length."""
     return (
@@ -207,16 +243,19 @@ def _curlify_vec(gated: pa.Array) -> pa.Array:
     # elision check for single quotes: following text matches
     # \d|(?:em|til|till|tis|cause|course)\b  (IGNORECASE), within the row
     low = np.where((cp >= 65) & (cp <= 90), cp + 32, cp)
+    uni_digit, uni_word = _nonascii_word_masks(cp)
     is_wordchar = (
         ((low >= ord("a")) & (low <= ord("z")))
         | ((cp >= ord("0")) & (cp <= ord("9")))
         | (cp == ord("_"))
+        | uni_word
     )
+    is_digit_ch = ((cp >= ord("0")) & (cp <= ord("9"))) | uni_digit
 
     def _elides(pos: np.ndarray) -> np.ndarray:
         nxt = pos + 1
         in_row = nxt < row_end[pos]
-        out = in_row & (cp[nxt] >= ord("0")) & (cp[nxt] <= ord("9"))
+        out = in_row & is_digit_ch[nxt]
         for w in _ELISION_WORDS:
             L = len(w)
             m = pos + 1 + L <= row_end[pos]
@@ -394,14 +433,17 @@ def _filter_boilerplate(flat: _Flat, repeating: frozenset[str]) -> _Flat:
     txt = _trim(flat.text)
     is_text = flat.kind_is_text
 
-    tlen = pc.binary_length(txt).to_numpy(zero_copy_only=False)
+    # character length, not bytes: the golden pandas kernel caps on
+    # str.len() (code points), and a curly-quote/em-dash header can be
+    # ≤80 chars but >80 bytes — binary_length diverges there.
+    tlen = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
     nonempty = tlen > 0
     # standalone page number (≤8 chars, digits or roman)
     page_num = (
         (tlen <= tn.MAX_PAGE_NUMBER_LEN)
         & nonempty
         & (
-            _contains(txt, r"^\d+$")
+            _contains(txt, r"^\p{Nd}+$")
             | _contains(txt, r"^[ivxlcdm]+$", ignore_case=True)
         )
     )
@@ -649,7 +691,8 @@ def heading_candidates_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         return empty
     txt = _trim(flat_txt)
     parent = parent_all
-    tlen = pc.binary_length(txt).to_numpy(zero_copy_only=False)
+    # utf8_length (chars) to match the golden kernel's str.len() cap
+    tlen = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
     cap = (tlen > 0) & (tlen <= tn.MAX_RUNNING_HEADER_LEN)
     shape = cap & _contains(txt, _HEADER_SHAPE_RE)
     allcaps = cap & _contains(txt, "[A-Za-z]") & ~_contains(txt, "[a-z]")

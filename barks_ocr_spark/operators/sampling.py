@@ -92,8 +92,15 @@ def split_train_test(
     """Add a deterministic ``split`` column ('train' | 'test'): a row is
     test iff the first 4 md5 hex chars of its id fall under
     floor(test_frac × 65536). Pure projection — no shuffle, no state,
-    stable across runs/partitionings/engines (granularity 1/65536)."""
-    threshold = format(int(test_frac * 65536), "04x")
+    stable across runs/partitionings/engines (granularity 1/65536).
+
+    ``test_frac >= 1.0`` is clamped to all-test: the hex threshold is a
+    4-char string compare, and an unclamped 1.0 would format as the
+    5-char '10000', which sorts BELOW most 4-char hex prefixes."""
+    bucket = min(max(int(test_frac * 65536), 0), 65536)
+    if bucket >= 65536:
+        return df.withColumn("split", F.lit("test"))
+    threshold = format(bucket, "04x")
     is_test = F.substring(_rank_key(id_col), 1, 4) < F.lit(threshold)
     return df.withColumn(
         "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))

@@ -562,9 +562,10 @@ FROM counts c JOIN dfreq d USING (word), n
 
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source document cap (sampling.cap_per_group): at most 30 docs
-    per crawl source (the cap BINDS on this corpus: every source holds more), selected by deterministic md5 rank — the oracle
-    replays the EXACT selection, not just the per-group sizes."""
+    """Per-source document cap (sampling.cap_per_group): at most 15 docs
+    per crawl source (the cap BINDS on this corpus: every source holds
+    more), selected by deterministic md5 rank — the oracle replays the
+    EXACT selection, not just the per-group sizes."""
     from barks_ocr_spark.operators import sampling
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")

@@ -129,6 +129,40 @@ def test_edge_docs_parity():
     _run_both(pdf, rep)
 
 
+def test_multibyte_header_near_char_cap_parity():
+    """A repeated ALL-CAPS header that is ≤80 *characters* but >80 *bytes*
+    (curly quotes + em-dashes are 3-byte UTF-8) must be dropped by both
+    kernels: the golden kernel caps on str.len() (code points), so the
+    arrow kernel must use utf8_length, not binary_length."""
+    hdr = "“THE — MOST — WONDROUS — ADVENTUROUS — TALES — OF — THE — NORTH — WILDS!”"
+    assert len(hdr) <= 80 < len(hdr.encode("utf-8"))
+    docs = [
+        _doc(f"mb{i}", [("text", hdr, ""), ("text", f"Body line {i} stays.", "")])
+        for i in range(4)
+    ]
+    pdf = pd.DataFrame(docs)
+    flat = pk.flatten(pdf)
+    rep = pk.repeating_headings_from_flat(flat)
+    assert hdr in rep, "golden pass-1 must treat the multibyte header as a candidate"
+    _run_both(pdf, rep)
+    # arrow pass-1 candidate parity on the same corpus
+    texts = pdf["spans"].map(
+        lambda spans: [s["text"] for s in spans if s["kind"] == "text"]
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(pdf["doc_id"], type=pa.string()),
+            pa.array(texts, type=pa.list_(pa.string())),
+        ],
+        names=["doc_id", "texts"],
+    )
+    got = ak.heading_candidates_batch(batch).to_pandas()
+    want = pk.heading_variant_candidates(flat)
+    assert set(zip(got["doc_id"], got["variant"])) == set(
+        zip(want["doc_id"], want["variant"])
+    )
+
+
 _TEXT_ALPHABET = st.sampled_from(
     list("aA zZ.!?-\n\t\"'()[]") + ["­", "—", "“", "’", " ", "F", "G0", "12", "Reprinted: "]
 )
@@ -200,9 +234,14 @@ def test_curlify_vec_matches_reference_scan():
         "'causeway", "'em.", "'emu", "x'9", "don't 'do' \"it\"",
         '—"dash quote"', "…'ellipsis'", '““already”curly”', "’’",
         "quote at end'", 'mix "a\'b" c\'d"e', "***'''***", '__"__',
+        # Unicode dialect: \d = Nd ('٣' yes, '²' no), \b word chars
+        # include unicode alnum ('é', '①') — must match Python re.
+        "'٣ starts with arabic-indic digit", "'² superscript not Nd",
+        "'emé unicode letter breaks the boundary", "'em① circled digit is \\w",
+        "'tisé no elision", "'causeٮ arabic letter", "('٤٢')", "'é plain",
     ]
     rng = random.Random(0)
-    alphabet = "aZ '\"*_([—…til causeem0-’“"
+    alphabet = "aZ '\"*_([—…til causeem0-’“é٣②"
     cases += [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
         for _ in range(800)

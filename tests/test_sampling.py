@@ -80,3 +80,13 @@ def test_pack_start_offset_semantics(spark):
     out = sampling.pack_documents(docs, budget=100, n_shards=4)
     packs = sorted(r["pack_id"] for r in out.collect())
     assert packs == [0, 0, 1]
+
+
+def test_split_extreme_fracs(spark):
+    docs = _docs(spark)
+    all_test = {r["split"] for r in sampling.split_train_test(docs, 1.0).collect()}
+    assert all_test == {"test"}
+    all_train = {r["split"] for r in sampling.split_train_test(docs, 0.0).collect()}
+    assert all_train == {"train"}
+    over = {r["split"] for r in sampling.split_train_test(docs, 1.5).collect()}
+    assert over == {"test"}
