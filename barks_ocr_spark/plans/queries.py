@@ -499,9 +499,6 @@ GROUP BY word, doc_id
 )
 
 
-_BUCKET_SEQ = [0]
-
-
 def q_bucketed_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 index sink as a BUCKETED catalog table: the inverted index is
     written bucketBy(word) + sortBy(word) once (sources/bucketed.py), so
@@ -513,10 +510,12 @@ def q_bucketed_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barks_ocr_spark.sources import bucketed
 
     docs = load(spark, sf_dir, "documents")
-    import os
-
-    _BUCKET_SEQ[0] += 1
-    t = f"bk_word_index_{os.getpid()}_{_BUCKET_SEQ[0]}"
+    # deterministic table name: write_bucketed drops any existing table
+    # AND its warehouse dir first, so repeated driver-gate runs reuse one
+    # location instead of accumulating pid-scoped orphans under the
+    # warehouse (round-2 verdict hygiene item)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    t = f"bk_word_index_{sf_tag}"
     bucketed.write_bucketed(
         index.inverted_index(docs), t, "word", num_buckets=8, sort_col="word"
     )
@@ -1471,6 +1470,44 @@ ORDER BY score DESC, v.vec_id LIMIT 10
 """
 
 
+def _index_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic per-sf scratch dir for materialized ANN indexes —
+    overwritten each run, so repeated driver-gate runs never accumulate
+    orphan directories (one dir per (kind, sf))."""
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/barks_ann_idx/{kind}_{tag}"
+
+
+def q_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_topk over a MATERIALIZED signature table (simsearch.lsh_write):
+    signatures are computed once at write time and the probe filters a
+    stored long column — the plan contains no ArrowEvalPython stage
+    (pinned by test_lsh_indexed_no_signature_recompute). Same oracle as
+    lsh_topk: the result must be independent of where signatures are
+    computed."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    path = _index_dir(sf_dir, "lsh")
+    simsearch.lsh_write(emb, path, n_planes=16, dim=64)
+    return simsearch.lsh_topk_indexed(
+        spark, path, _query_vec(spark, sf_dir), k=10, n_planes=16, max_hamming=6
+    )
+
+
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk over a MATERIALIZED cell-partitioned index
+    (simsearch.ivf_write): the probe is parquet partition pruning
+    (pinned by test_ivf_indexed_partition_pruning). Same oracle as
+    ivf_topk — write-time vs read-time cell assignment must agree."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    path = _index_dir(sf_dir, "ivf")
+    simsearch.ivf_write(emb, path, n_centroids=16, dim=64)
+    return simsearch.ivf_topk_indexed(
+        spark, path, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over an LSH-bucketed self-join.
 
@@ -2138,7 +2175,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "issue_histogram": (q_issue_histogram, _SQL_ISSUE_HISTOGRAM),
     "topk_cosine": (q_topk_cosine, _SQL_TOPK_COSINE),
     "lsh_topk": (q_lsh_topk, _SQL_LSH_TOPK),
+    "lsh_topk_indexed": (q_lsh_topk_indexed, _SQL_LSH_TOPK),
     "ivf_topk": (q_ivf_topk, _SQL_IVF_TOPK),
+    "ivf_topk_indexed": (q_ivf_topk_indexed, _SQL_IVF_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),

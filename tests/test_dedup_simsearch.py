@@ -164,3 +164,41 @@ def test_ivf_indexed_partition_pruning(spark, tmp_path):
     assert "cell" in partition_filter
 
 
+
+
+def test_lsh_indexed_matches_on_the_fly(spark, tmp_path):
+    emb = _embeddings(spark)
+    path = str(tmp_path / "lsh_idx")
+    simsearch.lsh_write(emb, path, n_planes=16, dim=4)
+    q = [1.0, 0.0, 0.0, 0.0]
+    direct = simsearch.lsh_topk(emb, q, k=4, max_hamming=16)
+    indexed = simsearch.lsh_topk_indexed(spark, path, q, k=4, max_hamming=16)
+    assert sorted(map(tuple, indexed.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_lsh_indexed_no_signature_recompute(spark, tmp_path):
+    emb = _embeddings(spark)
+    path = str(tmp_path / "lsh_idx")
+    simsearch.lsh_write(emb, path, n_planes=16, dim=4)
+    out = simsearch.lsh_topk_indexed(spark, path, [1.0, 0.0, 0.0, 0.0], k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # signatures come from the STORED column: no Python/Arrow stage and
+    # no HOF fold may appear anywhere in the indexed read plan
+    assert "ArrowEvalPython" not in plan and "aggregate(" not in plan
+    # ...while the on-the-fly path does recompute (sanity for the pin)
+    fly = simsearch.lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=4)
+    fly_plan = fly._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in fly_plan
+
+
+def test_sign_bits_py_matches_column_form(spark):
+    emb = _embeddings(spark)
+    rows = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        simsearch.sign_lsh_bits(
+            F.col("embedding").cast("array<double>"), 16, 4
+        ).alias("sig"),
+    ).collect()
+    for r in rows:
+        assert simsearch.sign_bits_py(list(r["v"]), 16, 4) == r["sig"]
