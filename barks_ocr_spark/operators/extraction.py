@@ -115,8 +115,9 @@ def heading_candidates_arrow(docs: DataFrame) -> DataFrame:
     )
 
 
-def repeating_headings(docs: DataFrame, kernel: str = "arrow") -> DataFrame:
-    """variants appearing on ≥3 distinct docs (A7). Returns DataFrame[variant]."""
+def repeating_headings_counted(docs: DataFrame, kernel: str = "arrow") -> DataFrame:
+    """variants appearing on ≥3 distinct docs, with their distinct-doc
+    counts (A7). Returns DataFrame[variant, n_docs]."""
     cand = (
         heading_candidates_arrow(docs)
         if kernel == "arrow"
@@ -126,8 +127,51 @@ def repeating_headings(docs: DataFrame, kernel: str = "arrow") -> DataFrame:
         cand.groupBy("variant")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= tn.RUNNING_HEADER_REPEAT_THRESHOLD)
-        .select("variant")
     )
+
+
+def repeating_headings(docs: DataFrame, kernel: str = "arrow") -> DataFrame:
+    """variants appearing on ≥3 distinct docs (A7). Returns DataFrame[variant]."""
+    return repeating_headings_counted(docs, kernel=kernel).select("variant")
+
+
+# Driver-memory bound on the broadcast heading set. Genuine running
+# headers number in the hundreds; 100k × ~80 chars ≈ 8 MB, far under any
+# driver heap, while an adversarial corpus (every doc sharing millions
+# of heading-shaped spans) can no longer OOM the driver.
+DEFAULT_MAX_REPEATING_VARIANTS = 100_000
+
+
+def repeating_heading_set(
+    docs: DataFrame,
+    kernel: str = "arrow",
+    max_variants: int = DEFAULT_MAX_REPEATING_VARIANTS,
+) -> frozenset[str]:
+    """Pass-1 result as the driver-side broadcast set, with a BOUNDED
+    collect: at most ``max_variants`` variants, chosen deterministically
+    by (n_docs desc, variant asc) — the most-repeated headers are the
+    real boilerplate, so truncation drops the least-load-bearing tail
+    first and every run/partitioning keeps the identical set. The
+    orderBy+limit plans as a distributed TakeOrdered, so the driver
+    never holds more than the cap. Truncation is logged: silent caps
+    read as full coverage when they aren't."""
+    rows = (
+        repeating_headings_counted(docs, kernel=kernel)
+        .orderBy(F.desc("n_docs"), "variant")
+        .limit(max_variants + 1)
+        .collect()
+    )
+    if len(rows) > max_variants:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "repeating-heading set truncated to %d variants "
+            "(deterministic top by repeat count); corpus has more — "
+            "raise max_variants if headers are being missed",
+            max_variants,
+        )
+        rows = rows[:max_variants]
+    return frozenset(r["variant"] for r in rows)
 
 
 def inject_page_scans(docs: DataFrame, page_scans: DataFrame) -> DataFrame:
@@ -177,9 +221,8 @@ def extract(
     """
     spark = docs.sparkSession
     if repeating is None:
-        repeating = frozenset(
-            r["variant"] for r in repeating_headings(docs, kernel=kernel).collect()
-        )
+        # bounded deterministic collect — see repeating_heading_set
+        repeating = repeating_heading_set(docs, kernel=kernel)
     bc = spark.sparkContext.broadcast(repeating)
 
     if page_scans is not None:

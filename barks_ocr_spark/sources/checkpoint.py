@@ -81,9 +81,7 @@ class ExtractionJob:
         # 3 already committed would survive the resumed pass), breaking
         # the exactly-once-in-effect determinism and the reference's
         # whole-book two-pass rule (books/src/book_pages.py:295-321).
-        repeating = frozenset(
-            r["variant"] for r in extraction.repeating_headings(docs).collect()
-        )
+        repeating = extraction.repeating_heading_set(docs)
         result = extraction.extract(
             pending,
             page_scans=page_scans,

@@ -121,3 +121,43 @@ def test_extraction_metrics(spark):
     m = extraction.extraction_metrics(result).collect()
     assert sum(r["pages_processed"] for r in m) == 100
     assert all(0.0 <= r["ocr_empty_rate"] <= 1.0 for r in m)
+
+
+def test_adversarial_heading_set_is_bounded_and_deterministic(spark):
+    """Corpus where every doc shares thousands of heading-shaped spans:
+    the driver collect must stay bounded (max_variants), keep the
+    deterministic top by (repeat count desc, variant asc), and the
+    extraction must still run with the truncated set."""
+    n_docs, n_headers = 12, 2000
+    rows = []
+    for d in range(n_docs):
+        spans = [
+            _span("text", f"SHARED HEADER {h:05d}", offset=h)
+            for h in range(n_headers)
+        ]
+        spans.append(_span("text", f"Body of doc {d} survives.", offset=n_headers))
+        rows.append({"doc_id": f"adv{d:03d}", "spans": spans})
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows), schema=DOCUMENTS_SPANS_SCHEMA
+    ).repartition(8)
+
+    capped = extraction.repeating_heading_set(docs, max_variants=500)
+    assert len(capped) == 500
+    # every header repeats on all 12 docs, so ties break on variant asc:
+    # the kept 500 are exactly the lexicographically smallest
+    assert capped == frozenset(f"SHARED HEADER {h:05d}" for h in range(500))
+    # a different partitioning collects the identical set
+    assert capped == extraction.repeating_heading_set(
+        docs.repartition(3), max_variants=500
+    )
+
+    out = {
+        r.doc_id: [(s.kind, s.text) for s in r.spans]
+        for r in extraction.extract(docs, repeating=capped).collect()
+    }
+    assert len(out) == n_docs
+    for spans in out.values():
+        texts = [t for _, t in spans]
+        # capped headers were stripped; uncapped ones survive
+        assert "SHARED HEADER 00000" not in " ".join(texts)
+        assert any("SHARED HEADER 01999" in t for t in texts)
