@@ -93,6 +93,105 @@ def search(index: DataFrame, word: str) -> DataFrame:
     )
 
 
+def index_hyphen_duplicates(
+    index: DataFrame, allowed: list[str] | None = None
+) -> DataFrame:
+    """Hyphenated index terms whose fully dehyphenated form is ALSO an
+    index term (`pipeline/whoosh_index.py:138-146`, check_cleaned_terms:
+    usually an OCR line-break hyphenation artifact), minus the curated
+    allowlist of legitimately-both words (the reference's
+    BARKSIAN_WORDS_WITH_OPTIONAL_HYPHENS). Empty result = healthy.
+
+    Returns (term, dehyphenated, n_docs_term, n_docs_dehyph). Scale
+    shape: runs on the VOCABULARY (distinct words — bounded, never
+    corpus-sized), one hash join of the hyphenated slice against the
+    vocabulary on the dehyphenated key."""
+    stats = index.groupBy("word").agg(F.countDistinct("doc_id").alias("n_docs"))
+    hyph = stats.filter(F.col("word").contains("-")).select(
+        F.col("word").alias("term"),
+        F.regexp_replace("word", "-", "").alias("dehyphenated"),
+        F.col("n_docs").alias("n_docs_term"),
+    )
+    if allowed:
+        hyph = hyph.filter(~F.col("term").isin([a.lower() for a in allowed]))
+    plain = stats.select(
+        F.col("word").alias("dehyphenated"), F.col("n_docs").alias("n_docs_dehyph")
+    )
+    return hyph.join(plain, "dehyphenated").select(
+        "term", "dehyphenated", "n_docs_term", "n_docs_dehyph"
+    )
+
+
+def positional_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, doc_id, positions: array<int>) — the phrase-capable index
+    (`tools/whoosh_find.py` searches Whoosh, which stores positions for
+    phrase queries; this is the DataFrame equivalent).
+
+    Positions are 0-based slots in the RAW token stream — stopwords and
+    empty tokens occupy slots but are not indexed — so adjacency stays
+    pure position arithmetic and adding a stopword to the stop list
+    never silently changes existing phrase distances."""
+    stop = sorted(tn.ALL_WORDS_TO_IGNORE)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("pos", "word")
+    ).filter((F.col("word") != "") & ~F.col("word").isin(stop))
+    return toks.groupBy("word", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_terms(phrase: str) -> list[str]:
+    """Driver-side replica of the T13 tokenizer for query strings."""
+    import re
+
+    t = re.sub(r"—|\.\.\.", " ", phrase.lower())
+    t = re.sub(r'["!=?,:;.<>/()*&%$#]', "", t)
+    return [w for w in t.split() if w]
+
+
+def search_phrase(pos_index: DataFrame, phrase: str) -> DataFrame:
+    """Docs containing the terms of ``phrase`` ADJACENTLY, in order —
+    the quoted-phrase Whoosh query (`tools/whoosh_find.py`). Returns
+    (doc_id, n_matches = number of start positions), most matches first.
+
+    Plan shape: each term filters the index to one word (pushed to the
+    scan), term i's positions are shifted by -i, and the per-doc arrays
+    are intersected — surviving entries are exact phrase starts. The
+    joins run on the filtered (per-term, per-doc) slices only, never the
+    full index; phrase length bounds the join count."""
+    terms = phrase_terms(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    stop = tn.ALL_WORDS_TO_IGNORE
+    bad = [t for t in terms if t in stop]
+    if bad:
+        raise ValueError(f"phrase contains unindexed stop words: {bad}")
+    def _shift(i: int):
+        # factory, not a default-arg lambda: pyspark inspects lambda
+        # arity, and a (p, i=i) signature reads as the (element, index)
+        # binary form of transform()
+        return lambda p: p - F.lit(i)
+
+    out: DataFrame | None = None
+    for i, t in enumerate(terms):
+        starts = (
+            F.transform("positions", _shift(i)) if i else F.col("positions")
+        )
+        s = pos_index.filter(F.col("word") == t).select(
+            "doc_id", starts.alias(f"_s{i}")
+        )
+        out = s if out is None else out.join(s, "doc_id")
+    assert out is not None
+    inter = F.col("_s0")
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, F.col(f"_s{i}"))
+    return (
+        out.select("doc_id", F.size(inter).cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), "doc_id")
+    )
+
+
 def index_integrity_missing_terms(index: DataFrame, terms: list[str]) -> DataFrame:
     """Index integrity check (`pipeline/whoosh_index.py:33-57`): curated
     terms that are NOT findable in the index. Empty result = healthy."""

@@ -1252,6 +1252,85 @@ WHERE term NOT IN (SELECT DISTINCT word FROM toks WHERE word <> '')
 )
 
 
+# Hyphen-duplicate plant: the driver corpus carries no hyphenated
+# tokens, so the check is exercised on deterministic planted docs
+# unioned with the full corpus (same precedent as embedding_near_dups's
+# id-shifted twin) — the corpus side keeps the vocabulary-scale join
+# honest, the plant makes the result non-trivial.
+_HYPHEN_PLANT = [
+    (-1, "bow-tie bowtie ice-cream re-print"),
+    (-2, "bow-tie reprint icecream"),
+    (-3, "bowtie ice-cream"),
+]
+_HYPHEN_ALLOWED = ["re-print"]
+
+
+def q_index_hyphen_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index integrity: hyphenated terms whose dehyphenated form is ALSO
+    indexed (`pipeline/whoosh_index.py:138-146`), minus the curated
+    allowlist — the OCR hyphenation-artifact detector. Vocabulary-scale
+    self-join (index.index_hyphen_duplicates)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = spark.createDataFrame(_HYPHEN_PLANT, "doc_id long, text string")
+    idx = index.inverted_index(docs.unionAll(plant))
+    return index.index_hyphen_duplicates(idx, allowed=_HYPHEN_ALLOWED)
+
+
+_SQL_HYPHEN_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _HYPHEN_PLANT)
+_SQL_INDEX_HYPHEN_DUPS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_SQL_HYPHEN_VALUES}) v(doc_id, text)
+),
+toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+      '—|\\.\\.\\.', ' ', 'g'), '["!=?,:;.<>/()*&%$#]', '', 'g')), '\\s+')) AS word
+  FROM corpus
+),
+stats AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS n_docs FROM toks
+  WHERE word <> '' AND word NOT IN ({_STOP_LIST_SQL})
+  GROUP BY word
+)
+SELECT h.word AS term, replace(h.word, '-', '') AS dehyphenated,
+  h.n_docs AS n_docs_term, p.n_docs AS n_docs_dehyph
+FROM stats h JOIN stats p ON p.word = replace(h.word, '-', '')
+WHERE contains(h.word, '-') AND h.word NOT IN ('re-print')
+"""
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search over the positional index: docs where the
+    terms of 'table hash' are ADJACENT in order, with the number of
+    phrase starts (index.search_phrase — the Whoosh phrase-query
+    analogue, `tools/whoosh_find.py`)."""
+    docs = load(spark, sf_dir, "documents")
+    pos = index.positional_index(docs)
+    return index.search_phrase(pos, "table hash")
+
+
+# DuckDB replay: raw-slot positions (stopwords occupy slots), adjacency
+# via pos+1 self-join on the per-term slices.
+_SQL_SEARCH_PHRASE = f"""
+WITH arr AS (
+  SELECT doc_id, string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+    '—|\\.\\.\\.', ' ', 'g'), '["!=?,:;.<>/()*&%$#]', '', 'g')), '\\s+') AS w
+  FROM documents
+),
+tp AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM arr),
+toks AS (
+  SELECT doc_id, i AS pos, w[i] AS word FROM tp
+  WHERE w[i] <> '' AND w[i] NOT IN ({_STOP_LIST_SQL})
+)
+SELECT t0.doc_id, COUNT(*) AS n_matches
+FROM toks t0 JOIN toks t1
+  ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.word = 'table' AND t1.word = 'hash'
+GROUP BY t0.doc_id
+"""
+
+
 def q_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-search over the index: docs containing every query term
     (the Whoosh multi-term query analogue, O6 set intersection)."""
@@ -2191,6 +2270,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "footnote_fold": (q_footnote_fold, _SQL_FOOTNOTE_FOLD),
     "index_search": (q_index_search, _SQL_INDEX_SEARCH),
     "index_integrity": (q_index_integrity, _SQL_INDEX_INTEGRITY),
+    "index_hyphen_dups": (q_index_hyphen_dups, _SQL_INDEX_HYPHEN_DUPS),
+    "search_phrase": (q_search_phrase, _SQL_SEARCH_PHRASE),
     "search_all_terms": (q_search_all_terms, _SQL_SEARCH_ALL),
     "context_entities": (q_context_entities, _SQL_CONTEXT_ENTITIES),
     "comic_spans": (q_comic_spans, _SQL_COMIC_SPANS),
