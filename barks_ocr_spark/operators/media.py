@@ -44,14 +44,39 @@ def encode_fake_image(width: int, height: int, channels: int = 3, seed: int = 0)
 
 
 def _decode_image(blob: bytes) -> tuple[int, int, int, bytes]:
-    """STUB: returns (width, height, channels, payload).
+    """Returns (width, height, channels, payload).
 
-    Real deployment: replace with PIL/cv2 decode inside the same
-    signature. Raises NotImplementedError for non-fake blobs.
+    Dispatch order: the deterministic fake codec (tests/sandbox), then
+    PIL, then cv2 if importable — so the same wheel decodes real blobs
+    on a cluster where the image libs exist. In this sandbox neither
+    lib is installed and non-fake blobs raise NotImplementedError (the
+    declared stub boundary; dispatch itself is pinned by
+    test_real_decode_dispatches_to_pil).
     """
     if blob[:4] == _FAKE_MAGIC:
         w, h, c = struct.unpack_from("<HHB", blob, 4)
         return w, h, c, blob[9:]
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(blob))
+        return img.size[0], img.size[1], len(img.getbands()), img.tobytes()
+    except ImportError:
+        pass
+    try:
+        import cv2  # type: ignore[import-not-found]
+
+        arr = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            msg = "cv2 could not decode blob"
+            raise ValueError(msg)
+        h, w = arr.shape[:2]
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        return w, h, c, arr.tobytes()
+    except ImportError:
+        pass
     msg = "real image decode not available in this environment (stub)"
     raise NotImplementedError(msg)
 

@@ -51,6 +51,34 @@ def test_real_decode_is_stubbed():
         media._decode_image(b"\x89PNG....")
 
 
+def test_real_decode_dispatches_to_pil(monkeypatch):
+    """With an importable PIL, non-fake blobs route to Image.open — the
+    same wheel decodes real blobs on a cluster that has the libs."""
+    import sys
+    import types
+
+    class _Img:
+        size = (7, 5)
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def tobytes(self):
+            return b"xyz"
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda fp: _Img()
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+    assert media._decode_image(b"\x89PNG....") == (7, 5, 3, b"xyz")
+    # the fake codec still wins for fake blobs
+    blob = media.encode_fake_image(3, 2, 1, seed=4)
+    w, h, c, _ = media._decode_image(blob)
+    assert (w, h, c) == (3, 2, 1)
+
+
 def test_streaming_extraction_matches_batch(spark, tmp_path):
     docs_pdf = dg.gen_documents(80, seed=17)
     flat = sk.flatten(docs_pdf)
