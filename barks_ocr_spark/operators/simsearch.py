@@ -11,18 +11,19 @@
   surviving fraction. The ``_write`` half materializes signatures at
   write time so 100 TB queries never recompute them at read.
 
-Scoring strategy (measured at 512k rows × 64 dims, local[32]):
+Scoring strategy (measured at 2k and 512k rows × 64 dims, local[32]):
 
-- query-vector cosine is an UNROLLED codegen expression
-  (:func:`cosine_to_query`): the per-element additions are generated at
-  plan-build time in the same left-to-right fold order as an
-  ``F.aggregate`` chain (byte-identical doubles), but stay inside
-  whole-stage codegen — higher-order functions evaluate per-element
-  interpreted lambda closures (0.77s HOF vs 0.69s unrolled);
-- LSH signatures / IVF cells are a numpy matmul in an Arrow-batched
-  ``pandas_udf`` (0.61s vs 2.49s for the 16-plane HOF chain — 4×; a
-  fully unrolled 16×64-term codegen expression exceeds janino's method
-  limits and silently falls back to interpreted, 2.4s);
+- query-vector cosine (:func:`cosine_to_query`) and LSH signatures /
+  IVF cells are numpy matmuls in Arrow-batched ``pandas_udf``s.
+  Signatures: 0.61s vs 2.49s for the 16-plane HOF chain (higher-order
+  functions evaluate per-element interpreted lambda closures, not
+  codegen), and a fully unrolled 16×64-term codegen expression exceeds
+  janino's method limits and silently falls back to interpreted (2.4s).
+  Cosine: the UDF (0.35s / 0.59s) beats both the HOF fold AND a
+  128-term unrolled codegen expression (0.95s / 1.37s) — Catalyst's
+  analysis of the deep tree costs ~0.9s of driver time per query.
+  UDF-feeding columns ship raw float32 (no JVM cast to double — the
+  kernels upcast value-exactly, halving Arrow transfer);
 - only the pairwise cosine on *candidate pairs* (``cosine_pairs``'s
   verify stage, O(candidates) not O(corpus)) keeps the dynamic-length
   HOF form — its inputs may be any length and the stage is not a scan.
@@ -60,28 +61,50 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_to_query(vec: Column, query_vec: list[float]) -> Column:
-    """Cosine(vec, literal query) as one unrolled codegen expression.
+_COS_UDF_CACHE: dict = {}
 
-    The additions unroll in index order, i.e. the same left fold an
-    ``F.aggregate`` evaluates — identical IEEE rounding, so scores are
-    byte-equal to the HOF form — but the whole expression stays in
-    whole-stage codegen. The query norm folds to a driver-side double
-    (same left-to-right order). Rows whose vector length ≠ len(query)
-    score null (getItem past the end), exactly as zip_with null-pads."""
-    q = [float(x) for x in query_vec]
-    qn = 0.0
-    for x in q:
-        qn += x * x
-    d: Column | None = None
-    n2: Column | None = None
-    for i, x in enumerate(q):
-        t = vec[i] * F.lit(x)
-        s = vec[i] * vec[i]
-        d = t if d is None else d + t
-        n2 = s if n2 is None else n2 + s
-    assert d is not None and n2 is not None
-    return d / (F.sqrt(n2) * F.lit(math.sqrt(qn)))
+
+def cosine_to_query(vec: Column, query_vec: list[float]) -> Column:
+    """Cosine(vec, literal query) as a numpy batch kernel: one
+    (rows × dim) · dim matvec + row norms per Arrow batch.
+
+    Why not JVM-side? Measured (2k and 512k rows × 64 dims, local[32],
+    best-of-3): this UDF 0.35s / 0.59s; a fully unrolled 128-term
+    codegen expression 0.95s / 1.37s — Catalyst's analysis of the deep
+    expression tree costs ~0.9s of driver time per query, swamping its
+    execution win; the HOF fold ties only on tiny inputs and evaluates
+    interpreted per element on big ones. Deterministic UDF evaluation
+    stays BELOW upstream filters (prune-then-rescore order is pinned by
+    test_lsh_indexed_no_signature_recompute).
+
+    Rows whose vector length ≠ len(query) score null (the zip_with
+    null-pad behavior); genuine 0/0 (zero vectors) stays NaN, exactly as
+    JVM double division."""
+    key = tuple(float(x) for x in query_vec)
+    if key not in _COS_UDF_CACHE:
+        qa = np.array(key, dtype=np.float64)
+        qn = float(np.sqrt((qa * qa).sum()))
+        dim = len(key)
+
+        @F.pandas_udf("double")
+        def cos(s: pd.Series) -> pd.Series:
+            n = len(s)
+            arr = s.to_numpy()
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in arr), dtype=np.int64, count=n
+            )
+            ok = np.flatnonzero(lens == dim)
+            out = np.zeros(n, dtype=np.float64)
+            if ok.size:
+                m = np.vstack([arr[i] for i in ok]).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out[ok] = (m @ qa) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            # mask length-mismatch rows to NULL (not NaN: Spark sorts
+            # NaN above every double, which would poison desc top-k)
+            return pd.Series(pd.arrays.FloatingArray(out, lens != dim))
+
+        _COS_UDF_CACHE[key] = cos
+    return _COS_UDF_CACHE[key](vec)
 
 
 def brute_force_topk(
@@ -92,7 +115,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k of ``query_vec`` over the embeddings table."""
-    score = cosine_to_query(F.col(vec_col).cast("array<double>"), query_vec)
+    score = cosine_to_query(F.col(vec_col), query_vec)
     return (
         embeddings.select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -273,7 +296,7 @@ def ivf_topk(
     if dim is None:
         dim = len(query_vec)
     probe = ivf_probe_cells(query_vec, n_centroids, nprobe)
-    v = F.col(vec_col).cast("array<double>")
+    v = F.col(vec_col)
     pruned = embeddings.filter(ivf_cell(v, n_centroids, dim).isin(probe))
     score = cosine_to_query(v, query_vec)
     return (
@@ -299,7 +322,7 @@ def ivf_write(
     Repartitioning by cell before the write gives one file per cell per
     shuffle partition rather than every task writing every cell.
     """
-    v = F.col(vec_col).cast("array<double>")
+    v = F.col(vec_col)
     (
         embeddings.withColumn("cell", ivf_cell(v, n_centroids, dim))
         .repartition("cell")
@@ -328,7 +351,7 @@ def ivf_topk_indexed(
     read, decoded, or scored."""
     probe = ivf_probe_cells(query_vec, n_centroids, nprobe)
     pruned = spark.read.parquet(path).filter(F.col("cell").isin(probe))
-    score = cosine_to_query(F.col(vec_col).cast("array<double>"), query_vec)
+    score = cosine_to_query(F.col(vec_col), query_vec)
     return (
         pruned.select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -356,7 +379,7 @@ def lsh_write(
     the banded-multi-probe layout (B band tables, pigeonhole-exact for
     h < B) is the next step; this single-table form keeps storage 1×.
     """
-    v = F.col(vec_col).cast("array<double>")
+    v = F.col(vec_col)
     (
         embeddings.withColumn("sig", sign_lsh_bits(v, n_planes, dim))
         .write.mode("overwrite")
@@ -385,7 +408,7 @@ def lsh_topk_indexed(
     pruned = spark.read.parquet(path).filter(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming
     )
-    score = cosine_to_query(F.col(vec_col).cast("array<double>"), query_vec)
+    score = cosine_to_query(F.col(vec_col), query_vec)
     return (
         pruned.select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -456,7 +479,7 @@ def lsh_topk(
     if dim is None:
         dim = len(query_vec)
     q_sig = sign_bits_py(query_vec, n_planes, dim)
-    v = F.col(vec_col).cast("array<double>")
+    v = F.col(vec_col)
     with_sig = embeddings.select(
         F.col(id_col), v.alias("v"), sign_lsh_bits(v, n_planes, dim).alias("sig")
     )

@@ -182,13 +182,16 @@ def test_lsh_indexed_no_signature_recompute(spark, tmp_path):
     simsearch.lsh_write(emb, path, n_planes=16, dim=4)
     out = simsearch.lsh_topk_indexed(spark, path, [1.0, 0.0, 0.0, 0.0], k=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # signatures come from the STORED column: no Python/Arrow stage and
-    # no HOF fold may appear anywhere in the indexed read plan
-    assert "ArrowEvalPython" not in plan and "aggregate(" not in plan
-    # ...while the on-the-fly path does recompute (sanity for the pin)
+    # signatures come from the STORED column: the rescore is the ONLY
+    # Python/Arrow stage, no HOF fold anywhere, and the hamming prune on
+    # the stored sig runs BELOW it (prune-then-rescore)
+    assert plan.count("ArrowEvalPython") == 1 and "aggregate(" not in plan
+    assert plan.index("Filter") > plan.index("ArrowEvalPython")  # deeper = later
+    # ...while the on-the-fly path recomputes signatures (second Arrow
+    # stage below the filter) — sanity for the pin
     fly = simsearch.lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=4)
     fly_plan = fly._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" in fly_plan
+    assert fly_plan.count("ArrowEvalPython") == 2
 
 
 def test_sign_bits_py_matches_column_form(spark):
