@@ -106,7 +106,14 @@ def index_hyphen_duplicates(
     shape: runs on the VOCABULARY (distinct words — bounded, never
     corpus-sized), one hash join of the hyphenated slice against the
     vocabulary on the dehyphenated key."""
-    stats = index.groupBy("word").agg(F.countDistinct("doc_id").alias("n_docs"))
+    from barks_ocr_spark.operators.cacheutil import persist_tracked
+
+    # the vocabulary stats feed BOTH join sides — aggregate the corpus
+    # once (eager: a lazy cache would recompute under the broadcast)
+    stats = persist_tracked(
+        index.groupBy("word").agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    stats.count()
     hyph = stats.filter(F.col("word").contains("-")).select(
         F.col("word").alias("term"),
         F.regexp_replace("word", "-", "").alias("dehyphenated"),
@@ -117,7 +124,9 @@ def index_hyphen_duplicates(
     plain = stats.select(
         F.col("word").alias("dehyphenated"), F.col("n_docs").alias("n_docs_dehyph")
     )
-    return hyph.join(plain, "dehyphenated").select(
+    # hyphenated terms are a sliver of the vocabulary: broadcast them so
+    # the full vocabulary never reshuffles on the dehyphenated key
+    return plain.join(F.broadcast(hyph), "dehyphenated").select(
         "term", "dehyphenated", "n_docs_term", "n_docs_dehyph"
     )
 
@@ -166,6 +175,15 @@ def search_phrase(pos_index: DataFrame, phrase: str) -> DataFrame:
     bad = [t for t in terms if t in stop]
     if bad:
         raise ValueError(f"phrase contains unindexed stop words: {bad}")
+    if len(terms) > 1:
+        # one pass over the index feeds every per-term slice: without
+        # this an on-the-fly index re-tokenizes the corpus once per term
+        # (eager count — a lazy cache would recompute per join branch)
+        from barks_ocr_spark.operators.cacheutil import persist_tracked
+
+        pos_index = persist_tracked(pos_index.filter(F.col("word").isin(terms)))
+        pos_index.count()
+
     def _shift(i: int):
         # factory, not a default-arg lambda: pyspark inspects lambda
         # arity, and a (p, i=i) signature reads as the (element, index)

@@ -104,6 +104,14 @@ def _extraction_throughput(n_cores: int, docs_path: str, n_docs: int) -> dict:
     from barks_ocr_spark.operators import extraction
     from barks_ocr_spark.session import get_spark
 
+    # Heap scales with cores (0.75 GB/core, floor 4 GB): on a real N→4N
+    # cluster every added executor brings its own heap, so constant
+    # memory-per-core is the honest analogue — a fixed total heap makes
+    # the 4N level GC-bound and biases the efficiency down (measured at
+    # 32 cores on the 2.4M-doc corpus: 12.6s at 8g → 10.0s at 24g).
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", f"{max(4, round(n_cores * 0.75))}g"
+    )
     spark = get_spark(
         f"bench-scaling-{n_cores}",
         master=f"local[{n_cores}]",
@@ -275,7 +283,10 @@ below were measured in this run.
 
 Method: interleaved subprocess probes (fresh JVM each), {rounds} rounds
 per level, one warmup + best-of-2 timed runs inside each probe, best
-across probes reported; the job consumes the scan's natural partitioning
+across probes reported; heap scales with cores (0.75 GB/core — each
+added executor on a real cluster brings its own heap, so constant
+memory-per-core is the honest N→4N analogue; a fixed total heap makes
+the 4N level GC-bound); the job consumes the scan's natural partitioning
 (256 parquet files — no forced repartition shuffle); full span
 materialization forced via sum(size(spans)). Interleaving + best-of is
 required on this host: it shares hardware with noisy neighbors and
