@@ -1,0 +1,96 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pairs, Spark-native.
+
+After any pair-producing dedup stage (exact fingerprint groups,
+jaccard_pairs, minhash_dups, simhash_dups), a training-data pipeline
+needs the TRANSITIVE closure: if A~B and B~C, one cluster {A,B,C} and
+one canonical survivor — pairwise drop rules either delete too much
+(both ends) or leave chains of survivors.
+
+Algorithm: iterative min-label propagation (the standard Pregel/
+MapReduce connected-components loop): every node starts labeled with
+its own id; each round every node takes the min of its own and its
+neighbors' labels; fixpoint in O(diameter) rounds. Each round is one
+shuffle join + one aggregate on the node id — no driver-side graph, no
+collect of nodes or edges; the only driver values are the per-round
+changed-row counts. Near-dup graphs have tiny diameters (dup clusters
+are near-cliques), so real corpora settle in 3-5 rounds; the pair
+tables are also orders of magnitude smaller than the corpus, so the
+loop runs on the small derived table, never the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from barks_ocr_spark.operators.cacheutil import persist_tracked as _persist
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc appearing in ``pairs``;
+    cluster_id = the smallest doc id reachable through the pair graph —
+    deterministic across runs and partitionings.
+
+    Convergence is checked per round (one count of changed labels);
+    raises if the graph hasn't settled within ``max_rounds`` (graph
+    diameter > max_rounds — pathological for dup clusters).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = _persist(
+        edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    # localCheckpoint (eager), NOT persist: each round's plan references
+    # the previous round's labels TWICE (neighbor join + fixpoint
+    # compare), so an un-truncated lineage doubles per round — 2^rounds
+    # analyzed-plan nodes OOMs the driver near round 11. Checkpointing
+    # cuts the plan to the materialized partitions every round.
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        msg = f"connected components did not converge in {max_rounds} rounds"
+        raise RuntimeError(msg)
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def canonical_docs(clusters: DataFrame) -> DataFrame:
+    """One row per cluster with its size; ``cluster_id`` IS the
+    canonical (minimum-id) member by construction — the keep-list a
+    dedup pipeline anti-joins the losers against."""
+    return clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))

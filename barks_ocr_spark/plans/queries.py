@@ -810,6 +810,45 @@ WHERE jaccard >= 0.8
 
 _SQL_JACCARD_PAIRS = _SQL_SHINGLES_CTE + _SQL_JACCARD_BODY_CAPPED
 
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the capped-jaccard near-dup pairs
+    (clusters.duplicate_clusters): the transitive closure a dedup
+    pipeline needs to pick ONE canonical survivor per group. Iterative
+    min-label propagation — O(diameter) rounds of join+aggregate on the
+    small pair-derived table; the DuckDB oracle replays it as a
+    recursive CTE (min reachable id)."""
+    from barks_ocr_spark.operators import clusters
+
+    pairs = dedup.ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8)
+    return clusters.duplicate_clusters(pairs)
+
+
+_SQL_DUP_CLUSTERS = (
+    _SQL_SHINGLES_CTE
+    + f"""
+, hot AS (SELECT shingle FROM sh GROUP BY shingle
+          HAVING COUNT(*) > {dedup.DEFAULT_MAX_SHINGLE_FREQ})
+, shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot))
+, pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(COUNT(*) AS DOUBLE) /
+            (a.n_shingles + b.n_shingles - COUNT(*)) AS jaccard
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles)
+  WHERE jaccard >= 0.8
+)
+, sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs)
+, reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""").replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+
 # minhash verification is uncapped (bands, not shingle frequency, bound
 # its join) → it keeps the uncapped exact-jaccard oracle.
 _SQL_JACCARD_UNCAPPED = _SQL_SHINGLES_CTE + _SQL_JACCARD_BODY
@@ -2248,6 +2287,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "fingerprints": (q_fingerprints, _SQL_FINGERPRINTS),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
+    "dup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
     "minhash_dups": (q_minhash_dups, _SQL_JACCARD_UNCAPPED),
     "simhash_dups": (q_simhash_dups, _SQL_SIMHASH_DUPS),
     "entity_rollup": (q_entity_rollup, _SQL_ENTITY_ROLLUP),
