@@ -82,3 +82,22 @@ def test_hyphen_duplicates_and_allowlist(spark):
         r["term"] for r in index.index_hyphen_duplicates(idx).collect()
     }
     assert with_all == {"bow-tie", "ice-cream", "re-print"}
+
+
+def test_phrase_with_repeated_term(spark):
+    # "beta beta" = consecutive duplicates: positions of the SAME term
+    # shifted by 0 and 1 must intersect
+    docs = _docs(
+        spark,
+        [
+            (1, "beta beta gamma"),       # one start (pos 0)
+            (2, "beta gamma beta"),       # none
+            (3, "beta beta beta"),        # two starts (0 and 1)
+        ],
+    )
+    pos = index.positional_index(docs)
+    hits = {
+        r["doc_id"]: r["n_matches"]
+        for r in index.search_phrase(pos, "beta beta").collect()
+    }
+    assert hits == {1: 1, 3: 2}
