@@ -958,6 +958,30 @@ ORDER BY total_mentions DESC, p.name
 """
 
 
+def q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find_entities analogue (`tools/whoosh_find.py:53` — the CLI's
+    --entity-type search): docs mentioning any curated entity of one
+    type, with per-doc mention counts. A filter on the tagged entity
+    table — the dictionary is broadcast-sized, the scan is one pass."""
+    docs = load(spark, sf_dir, "documents")
+    saved = entities.CURATED_ENTITIES
+    try:
+        entities.CURATED_ENTITIES = TESTDATA_ENTITIES
+        tagged = entities.tag_entities(docs)
+    finally:
+        entities.CURATED_ENTITIES = saved
+    return tagged.filter(F.col("entity_type") == "OPERATION").select(
+        "doc_id", "name", "n_mentions"
+    )
+
+
+_SQL_ENTITY_SEARCH = f"""
+SELECT doc_id, name, n_mentions
+FROM ({_entities_union_sql()})
+WHERE n_mentions > 0 AND entity_type = 'OPERATION'
+"""
+
+
 def q_issue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Issue predicates over a deterministically dash-planted corpus
     (the raw corpus contains no dashes — the plant makes the checks
@@ -2291,6 +2315,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_dups": (q_minhash_dups, _SQL_JACCARD_UNCAPPED),
     "simhash_dups": (q_simhash_dups, _SQL_SIMHASH_DUPS),
     "entity_rollup": (q_entity_rollup, _SQL_ENTITY_ROLLUP),
+    "entity_search": (q_entity_search, _SQL_ENTITY_SEARCH),
     "issue_histogram": (q_issue_histogram, _SQL_ISSUE_HISTOGRAM),
     "topk_cosine": (q_topk_cosine, _SQL_TOPK_COSINE),
     "lsh_topk": (q_lsh_topk, _SQL_LSH_TOPK),
