@@ -849,6 +849,31 @@ _SQL_DUP_CLUSTERS = (
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """).replace("\nWITH ", "\nWITH RECURSIVE ", 1)
 
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: pairs → connected components → keep-list. A doc
+    survives iff it is unpaired or the canonical (minimum-id) member of
+    its cluster — the anti-join a training-data pipeline runs before
+    tokenization. The corpus side never reshuffles: the loser list is a
+    cluster-table projection, orders of magnitude smaller than the
+    corpus, broadcast into a left-anti join."""
+    from barks_ocr_spark.operators import clusters
+
+    docs = _doubled_docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    cl = clusters.duplicate_clusters(pairs)
+    losers = cl.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select("doc_id")
+
+
+_SQL_DEDUP_CORPUS = _SQL_DUP_CLUSTERS.replace(
+    "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id",
+    """SELECT doc_id FROM doubled
+WHERE doc_id NOT IN (
+  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+  WHERE id <> cluster_id)""",
+)
+
 # minhash verification is uncapped (bands, not shingle frequency, bound
 # its join) → it keeps the uncapped exact-jaccard oracle.
 _SQL_JACCARD_UNCAPPED = _SQL_SHINGLES_CTE + _SQL_JACCARD_BODY
@@ -2312,6 +2337,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
     "dup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
+    "dedup_corpus": (q_dedup_corpus, _SQL_DEDUP_CORPUS),
     "minhash_dups": (q_minhash_dups, _SQL_JACCARD_UNCAPPED),
     "simhash_dups": (q_simhash_dups, _SQL_SIMHASH_DUPS),
     "entity_rollup": (q_entity_rollup, _SQL_ENTITY_ROLLUP),
