@@ -70,3 +70,16 @@ def test_minhash_signature_agg_is_partial(spark):
 def test_topk_cosine_is_takeordered_not_full_sort(spark):
     plan = _plan(Q.q_topk_cosine(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_corpus_keeplist_is_broadcast_anti_join(spark):
+    plan = _plan(Q.q_dedup_corpus(spark, SF))
+    # the loser list joins the corpus broadcast + anti: the fat corpus
+    # side must never reshuffle on doc_id for the keep-list filter
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_hyphen_dups_broadcasts_hyphenated_sliver(spark):
+    plan = _plan(Q.q_index_hyphen_dups(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
