@@ -155,6 +155,7 @@ _MAX_ELISION = max(len(w) for w in _ELISION_WORDS) + 1
 
 
 _NONASCII_CLASS_CACHE: dict[int, tuple[bool, bool]] = {}
+_CASEFOLD_CACHE: dict[int, int] = {}
 
 
 def _nonascii_word_masks(cp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -243,6 +244,26 @@ def _curlify_vec(gated: pa.Array) -> pa.Array:
     # elision check for single quotes: following text matches
     # \d|(?:em|til|till|tis|cause|course)\b  (IGNORECASE), within the row
     low = np.where((cp >= 65) & (cp <= 90), cp + 32, cp)
+    hi_idx = np.flatnonzero(cp > 127)
+    if hi_idx.size:
+        # Python-re IGNORECASE literal matching folds the INPUT char
+        # with one-char .lower() plus the re._casefix extra cases
+        # (ſ→s, ı→i — chars whose lower() is NOT the ascii letter the
+        # pattern holds). Without this, "'cauſe" elides in the golden
+        # kernel but not here.
+        for u in np.unique(cp[hi_idx]).tolist():
+            f = _CASEFOLD_CACHE.get(u)
+            if f is None:
+                if u == 0x17F:  # LATIN SMALL LETTER LONG S
+                    f = ord("s")
+                elif u == 0x131:  # LATIN SMALL LETTER DOTLESS I
+                    f = ord("i")
+                else:
+                    lo = chr(u).lower()
+                    f = ord(lo) if len(lo) == 1 else u
+                _CASEFOLD_CACHE[u] = f
+            if f != u:
+                low[cp == u] = f
     uni_digit, uni_word = _nonascii_word_masks(cp)
     is_wordchar = (
         ((low >= ord("a")) & (low <= ord("z")))

@@ -239,9 +239,13 @@ def test_curlify_vec_matches_reference_scan():
         "'٣ starts with arabic-indic digit", "'² superscript not Nd",
         "'emé unicode letter breaks the boundary", "'em① circled digit is \\w",
         "'tisé no elision", "'causeٮ arabic letter", "('٤٢')", "'é plain",
+        # re._casefix extra cases + generic one-char lower() folds:
+        # IGNORECASE matches 'cauſe'/'tıl'/Kelvin-K against the ascii
+        # elision words
+        "'cauſe why", "'tiſ so", "'tıl dawn", "'ſ", "'K9 unit", "'CAUſE",
     ]
     rng = random.Random(0)
-    alphabet = "aZ '\"*_([—…til causeem0-’“é٣②"
+    alphabet = "aZ '\"*_([—…til causeem0-’“é٣②ſıK"
     cases += [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
         for _ in range(800)
