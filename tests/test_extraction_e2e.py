@@ -161,3 +161,20 @@ def test_adversarial_heading_set_is_bounded_and_deterministic(spark):
         # capped headers were stripped; uncapped ones survive
         assert "SHARED HEADER 00000" not in " ".join(texts)
         assert any("SHARED HEADER 01999" in t for t in texts)
+
+
+def test_extract_identical_across_partition_counts(spark):
+    """North-rule invariant: the same corpus at different parallelism
+    levels yields byte-identical per-doc span sequences."""
+    pdf = dg.gen_documents(300, seed=33)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SPANS_SCHEMA)
+
+    def run(n):
+        return {
+            r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+            for r in extraction.extract(
+                docs.repartition(n), num_partitions=n
+            ).collect()
+        }
+
+    assert run(2) == run(13)
