@@ -439,6 +439,49 @@ WHERE rk = 1
 """
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits a session):
+    the standard user-activity rollup, expressed as lag + running-sum
+    windows — no UDF, no state, one shuffle on user_id shared by both
+    windows and the final aggregate. Gaps compare exact integer
+    microseconds (unix_micros / epoch_us) so the session boundaries can
+    never diverge between engines on timestamp rounding."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is a
+    # pure reinterpretation and unix_micros matches DuckDB's epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_seq", F.sum(new_sess).over(run))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+_SQL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, event_id,
+    CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured projection: JSON prop extraction + rollup."""
     ev = load(spark, sf_dir, "events")
@@ -2322,6 +2365,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
     "top_users_per_event_type": (q_top_users_per_event_type, _SQL_TOP_USERS),
     "first_event_per_user": (q_first_event_per_user, _SQL_FIRST_EVENT),
+    "event_sessions": (q_event_sessions, _SQL_EVENT_SESSIONS),
     "events_json_props": (q_events_json_props, _SQL_EVENTS_JSON),
     "word_index": (q_word_index, _SQL_WORD_INDEX),
     "word_doc_freq": (q_word_doc_freq, _SQL_WORD_DOC_FREQ),
