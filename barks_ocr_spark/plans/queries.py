@@ -391,6 +391,67 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization (streaming/stateful.py
+    stream_sessionize) at the driver gate: events stream in, per-user
+    state carries the open session, and a session is emitted exactly
+    when a later event closes it. After an availableNow drain the
+    emitted set is every session except each user's still-open last —
+    which the batch SQL replays exactly (same integer-µs gap rule as
+    event_sessions)."""
+    from barks_ocr_spark.streaming import stateful
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    out = stateful.stream_sessionize(ev)
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_sessions_sink_{_STREAM_SINK_SEQ[0]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+_SQL_STREAM_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, event_id,
+    CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM g
+), sess AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+    MIN(event_id) AS first_event, MAX(event_id) AS last_event
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT * FROM sess
+WHERE session_seq < (SELECT MAX(session_seq) FROM sess m
+                     WHERE m.user_id = sess.user_id)
+"""
+
+
 def q_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
@@ -2398,6 +2459,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "book_assembly": (q_book_assembly, _SQL_BOOK_ASSEMBLY),
     "stream_events_hourly": (q_stream_events_hourly, _SQL_EVENTS_HOURLY),
     "stream_stateful_dedup": (q_stream_stateful_dedup, _SQL_STREAM_STATEFUL_DEDUP),
+    "stream_event_sessions": (q_stream_event_sessions, _SQL_STREAM_EVENT_SESSIONS),
     "salted_user_rollup": (q_salted_user_rollup, _SQL_SALTED_USER_ROLLUP),
     "compare_counters": (q_compare_counters, _SQL_COMPARE),
     "best_fuzzy_match": (q_best_fuzzy_match, _SQL_BEST_FUZZY),

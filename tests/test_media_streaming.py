@@ -178,3 +178,50 @@ def test_stateful_stream_dedup(spark, tmp_path):
     fps = [r["fp"] for r in got]
     assert sorted(fps) == ["a", "b", "c"]  # exactly one row per fingerprint
     assert all(r["is_first"] for r in got)
+
+
+def test_stream_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Sessions split/closed correctly when the SAME user's events span
+    two source files processed as separate micro-batches: the open
+    session in state must absorb batch-2 events inside the gap and only
+    close on a true >30-min gap."""
+    from barks_ocr_spark.streaming import stateful
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+
+    def _write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "us", "event_id"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+
+    m = 60_000_000  # one minute in µs
+    # batch 1: u1 events at t=0,10min (one open session)
+    _write("b1", [(1, 0, 100), (1, 10 * m, 101)])
+    # batch 2: u1 at 20min (same session), then 120min (closes it),
+    # then 125min (same new session — stays open); u2 single event
+    _write("b2", [(1, 20 * m, 102), (1, 120 * m, 103), (1, 125 * m, 104), (2, 0, 200)])
+
+    stream = (
+        spark.readStream.schema("user_id long, us long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir / "b*"))
+    )
+    out = stateful.stream_sessionize(stream)
+    (
+        out.writeStream.format("memory")
+        .queryName("sess_split_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["first_event"], r["last_event"]
+        )
+        for r in spark.table("sess_split_test").collect()
+    }
+    # only u1's first session closed: 3 events (100..102) across batches
+    assert got == {(1, 1): (3, 100, 102)}
