@@ -452,6 +452,35 @@ WHERE session_seq < (SELECT MAX(session_seq) FROM sess m
 """
 
 
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/asof.py): each error event gains
+    the id of the same user's newest click at-or-before it — the as-of
+    alignment DuckDB replays with its native ASOF LEFT JOIN. One shuffle
+    on user_id, one ordered pass; no range cross-join."""
+    from barks_ocr_spark.operators import asof
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof.asof_join(
+        errors, clicks, ["user_id"], "ts", {"click_id": "last_click_id"}
+    )
+    return out.select("event_id", "user_id", "last_click_id")
+
+
+_SQL_ASOF_LAST_CLICK = """
+SELECT l.event_id, l.user_id, r.event_id AS last_click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
@@ -2427,6 +2456,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_users_per_event_type": (q_top_users_per_event_type, _SQL_TOP_USERS),
     "first_event_per_user": (q_first_event_per_user, _SQL_FIRST_EVENT),
     "event_sessions": (q_event_sessions, _SQL_EVENT_SESSIONS),
+    "asof_last_click": (q_asof_last_click, _SQL_ASOF_LAST_CLICK),
     "events_json_props": (q_events_json_props, _SQL_EVENTS_JSON),
     "word_index": (q_word_index, _SQL_WORD_INDEX),
     "word_doc_freq": (q_word_doc_freq, _SQL_WORD_DOC_FREQ),
