@@ -452,6 +452,103 @@ WHERE session_seq < (SELECT MAX(session_seq) FROM sess m
 """
 
 
+# Overlapping value tiers (NOT a partition — a point can match several,
+# which is what makes this a real range join, not bucketing).
+_VALUE_TIERS = [
+    ("micro", 0.0, 10.0),
+    ("low", 5.0, 50.0),
+    ("mid", 25.0, 200.0),
+    ("high", 150.0, 1000.0),
+]
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of value per event_type (F.percentile = exact
+    linear interpolation, same definition as DuckDB quantile_cont).
+    Exact, not approx_percentile: the t-digest estimate is
+    engine-specific and can't be oracled; at 100 TB swap in
+    approx_percentile and keep this as the audit query on samples."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    agg = ev.groupBy("event_type").agg(pct.alias("p"))
+    return agg.select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("p50"),
+        F.round(F.col("p")[1], 6).alias("p95"),
+        F.round(F.col("p")[2], 6).alias("p99"),
+    )
+
+
+_SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py): estimated
+    distinct users per event_type from the k=16 smallest deterministic
+    hashes — unlike HLL, exactly replayable by the SQL oracle, and
+    mergeable across partitions/days at scale."""
+    from barks_ocr_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.kmv_distinct(ev, "event_type", "user_id", k=16)
+
+
+_SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), p AS (
+  SELECT event_type, COUNT(*) AS n, MAX(hv) AS hk FROM r WHERE rn <= 16
+  GROUP BY event_type
+)
+SELECT event_type,
+  ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+        ELSE 15.0 / (CAST(hk AS DOUBLE) / 4294967296.0) END, 6)
+    AS est_distinct
+FROM p
+"""
+
+
+def q_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/rangejoin.py): events matched to
+    every OVERLAPPING value tier via the band-key equi-join — no
+    nested-loop, shuffle sized by points + interval coverage. Rolled up
+    per (event_type, tier) so the oracle (plain range-predicate join)
+    is compact."""
+    from barks_ocr_spark.operators import rangejoin
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    tiers = spark.createDataFrame(_VALUE_TIERS, "tier string, lo double, hi double")
+    joined = rangejoin.banded_range_join(ev, tiers, "value", "lo", "hi", 25.0)
+    return joined.groupBy("event_type", "tier").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC6)).cast("double"), 2).alias(
+            "total_value"
+        ),
+    )
+
+
+_SQL_TIER_VALUES = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _VALUE_TIERS)
+_SQL_RANGE_JOIN_TIERS = f"""
+SELECT event_type, tier, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM events e JOIN (VALUES {_SQL_TIER_VALUES}) t(tier, lo, hi)
+  ON e.value >= t.lo AND e.value < t.hi
+GROUP BY event_type, tier
+"""
+
+
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join (operators/asof.py): each error event gains
     the id of the same user's newest click at-or-before it — the as-of
@@ -2457,6 +2554,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "first_event_per_user": (q_first_event_per_user, _SQL_FIRST_EVENT),
     "event_sessions": (q_event_sessions, _SQL_EVENT_SESSIONS),
     "asof_last_click": (q_asof_last_click, _SQL_ASOF_LAST_CLICK),
+    "range_join_tiers": (q_range_join_tiers, _SQL_RANGE_JOIN_TIERS),
+    "kmv_distinct_users": (q_kmv_distinct_users, _SQL_KMV_DISTINCT),
+    "value_percentiles": (q_value_percentiles, _SQL_VALUE_PERCENTILES),
     "events_json_props": (q_events_json_props, _SQL_EVENTS_JSON),
     "word_index": (q_word_index, _SQL_WORD_INDEX),
     "word_doc_freq": (q_word_doc_freq, _SQL_WORD_DOC_FREQ),

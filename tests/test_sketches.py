@@ -1,0 +1,33 @@
+"""KMV distinct-count sketch (operators/sketches.py)."""
+
+from __future__ import annotations
+
+from barks_ocr_spark.operators import sketches
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_exact_below_k(spark):
+    rows = [("a", i % 7) for i in range(50)]  # 7 distinct, k=16
+    out = {r["g"]: r["est_distinct"] for r in sketches.kmv_distinct(_df(spark, rows), "g", "v").collect()}
+    assert out == {"a": 7.0}
+
+
+def test_estimate_accuracy_and_determinism(spark):
+    rows = [("a", i) for i in range(2000)] + [("b", i) for i in range(100)]
+    df = _df(spark, rows)
+    out1 = {r["g"]: r["est_distinct"] for r in sketches.kmv_distinct(df, "g", "v", k=64).collect()}
+    out2 = {r["g"]: r["est_distinct"] for r in sketches.kmv_distinct(df.repartition(11), "g", "v", k=64).collect()}
+    assert out1 == out2  # partitioning-independent
+    # KMV with k=64 has ~1/sqrt(62) ≈ 13% stddev; accept 3 sigma
+    assert abs(out1["a"] - 2000) / 2000 < 0.4
+    assert abs(out1["b"] - 100) / 100 < 0.4  # 100 ≥ k → estimated, near truth
+
+
+def test_duplicates_do_not_inflate(spark):
+    rows = [("a", i % 25) for i in range(5000)]
+    out = {r["g"]: r["est_distinct"] for r in sketches.kmv_distinct(_df(spark, rows), "g", "v", k=16).collect()}
+    assert out == {"a": 16.0} or out["a"] > 0  # 25 distinct ≥ k → estimated
+    assert 8 <= out["a"] <= 60  # near 25, never near 5000
