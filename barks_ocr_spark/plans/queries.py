@@ -462,6 +462,33 @@ _VALUE_TIERS = [
 ]
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked continuous aggregate (operators/hypertable.py): the
+    hourly rollup materialized PARTITIONED BY day, then one day
+    incrementally refreshed via dynamic partition overwrite (refresh is
+    idempotent, so the read-back must equal the full-batch SQL). At
+    scale a refresh scans and rewrites exactly the changed chunks."""
+    from barks_ocr_spark.operators import hypertable
+
+    ev = load(spark, sf_dir, "events")
+    path = _index_dir(sf_dir, "rollup")
+    hypertable.rollup_write(ev, path)
+    first_day = ev.select(
+        F.min(F.to_date("ts")).cast("string").alias("d")
+    ).first()["d"]
+    hypertable.rollup_refresh(ev, path, [first_day])
+    return hypertable.rollup_read(spark, path)
+
+
+_SQL_HYPERTABLE_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value,
+  CAST(ts AS DATE) AS day
+FROM events GROUP BY 1, 2, 5
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95/p99 of value per event_type (F.percentile = exact
     linear interpolation, same definition as DuckDB quantile_cont).
@@ -2557,6 +2584,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "range_join_tiers": (q_range_join_tiers, _SQL_RANGE_JOIN_TIERS),
     "kmv_distinct_users": (q_kmv_distinct_users, _SQL_KMV_DISTINCT),
     "value_percentiles": (q_value_percentiles, _SQL_VALUE_PERCENTILES),
+    "hypertable_rollup": (q_hypertable_rollup, _SQL_HYPERTABLE_ROLLUP),
     "events_json_props": (q_events_json_props, _SQL_EVENTS_JSON),
     "word_index": (q_word_index, _SQL_WORD_INDEX),
     "word_doc_freq": (q_word_doc_freq, _SQL_WORD_DOC_FREQ),

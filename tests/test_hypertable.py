@@ -1,0 +1,70 @@
+"""Chunked continuous aggregate (operators/hypertable.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from barks_ocr_spark.operators import hypertable
+
+
+def _events(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def _snapshot(path):
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_refresh_rewrites_only_changed_chunk(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 10:05", "click", 1.0),
+        (2, "2024-01-02 11:10", "click", 2.0),
+        (3, "2024-01-03 12:15", "view", 3.0),
+    ]
+    path = str(tmp_path / "rollup")
+    hypertable.rollup_write(_events(spark, rows), path)
+    before = _snapshot(path)
+    assert any("day=2024-01-01" in p for p in before)
+
+    # day-2 backfill: its value changes; days 1 and 3 sources untouched
+    rows2 = [r if r[0] != 2 else (2, "2024-01-02 11:10", "click", 20.0) for r in rows]
+    hypertable.rollup_refresh(_events(spark, rows2), path, ["2024-01-02"])
+    after = _snapshot(path)
+
+    untouched_before = {p: m for p, m in before.items() if "day=2024-01-02" not in p}
+    untouched_after = {p: m for p, m in after.items() if "day=2024-01-02" not in p}
+    # identical paths AND mtimes: the other chunks were never rewritten
+    assert untouched_before == untouched_after
+
+    got = {
+        (str(r["day"]), r["event_type"]): r["total_value"]
+        for r in hypertable.rollup_read(spark, path).collect()
+    }
+    assert got[("2024-01-02", "click")] == 20.0
+    assert got[("2024-01-01", "click")] == 1.0
+    assert got[("2024-01-03", "view")] == 3.0
+
+
+def test_refresh_is_idempotent(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 10:05", "click", 1.0),
+        (2, "2024-01-01 10:40", "click", 2.0),
+        (3, "2024-01-02 09:00", "view", 3.0),
+    ]
+    path = str(tmp_path / "rollup")
+    ev = _events(spark, rows)
+    hypertable.rollup_write(ev, path)
+    full = sorted(map(tuple, hypertable.rollup_read(spark, path).collect()))
+    hypertable.rollup_refresh(ev, path, ["2024-01-01", "2024-01-02"])
+    again = sorted(map(tuple, hypertable.rollup_read(spark, path).collect()))
+    assert full == again
