@@ -105,12 +105,13 @@ def heading_candidates_arrow(docs: DataFrame) -> DataFrame:
             yield arrowspans.heading_candidates_batch(batch)
 
     # ship only the text strings across the Arrow boundary — pass 1
-    # never reads kind/media_ref/offset bytes
-    texts = F.transform(
-        F.filter("spans", lambda s: s["kind"] == F.lit("text")),
-        lambda s: s["text"],
-    )
-    return docs.select("doc_id", texts.alias("texts")).mapInArrow(
+    # never reads kind/media_ref/offset bytes. Plain nested-field
+    # extraction (spans.text), NOT filter+transform HOFs: the field path
+    # is a codegen'd GetArrayStructFields while the HOF pair evaluates
+    # interpreted lambdas per span (measured 1.99s → 1.60s for the
+    # candidate scan at 32 cores on 2.4M docs, identical output — media
+    # spans carry empty text, which the kernel's nonempty gate drops).
+    return docs.select("doc_id", F.col("spans.text").alias("texts")).mapInArrow(
         _gen, "doc_id string, variant string"
     )
 
