@@ -61,3 +61,48 @@ def test_asof_single_window_operator(spark):
     # must never degrade to a range nested-loop join
     assert plan.count("Window") == 1
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized differential: the union-window as-of equals
+    pandas.merge_asof(direction='backward', allow_exact_matches=True)
+    over many shapes (keys without right rows, ties at equal ts,
+    interleaved histories). Right rows are unique per (key, ts) — the
+    operator's documented precondition."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    for trial in range(8):
+        left = [
+            (rng.randint(1, 4), rng.randint(0, 40), 100 * trial + i)
+            for i in range(rng.randint(1, 12))
+        ]
+        seen = set()
+        right = []
+        for j in range(rng.randint(0, 12)):
+            k = (rng.randint(1, 4), rng.randint(0, 40))
+            if k not in seen:
+                seen.add(k)
+                right.append((k[0], k[1], 1000 * trial + j))
+        ldf = spark.createDataFrame(left, "user long, t long, event long")
+        rdf = spark.createDataFrame(
+            right or [(99, 0, 0)], "user long, t long, price long"
+        )
+        got = {
+            r["event"]: r["p"]
+            for r in asof.asof_join(ldf, rdf, ["user"], "t", {"price": "p"}).collect()
+        }
+        lp = pd.DataFrame(left, columns=["user", "t", "event"]).sort_values("t")
+        rp = pd.DataFrame(
+            right or [(99, 0, 0)], columns=["user", "t", "price"]
+        ).sort_values("t")
+        want_df = pd.merge_asof(
+            lp, rp, on="t", by="user", direction="backward", allow_exact_matches=True
+        )
+        want = {
+            int(r.event): (None if pd.isna(r.price) else int(r.price))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
