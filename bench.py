@@ -35,6 +35,8 @@ HEADLINE = [
     "simhash_dups",
     "topk_cosine",
     "events_hourly",
+    "event_sessions",
+    "asof_last_click",
     "running_order_total",
     "quality_scores",
 ]
