@@ -8,8 +8,10 @@ partition overwrite, so untouched chunk directories are never
 rewritten, read, or even listed for write. Readers see per-chunk
 atomic replacement.
 
-Scale shape: a day's refresh scans one day of source (partition-pruned
-filter on the chunk column), aggregates map-side-partial, and
+Scale shape: a day's refresh scans one day of source (half-open ts
+range predicates, pushed to the parquet scan so row-group min/max
+stats skip every other day; with a ts-partitioned source the same
+predicates partition-prune), aggregates map-side-partial, and
 overwrites one output directory. The full-history rollup never
 recomputes; backfills touch exactly the backfilled chunks. This is the
 batch complement of streaming/incremental.py's watermarked aggregate —
@@ -18,7 +20,9 @@ streams maintain the current chunk, this maintains history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -56,31 +60,82 @@ def rollup_write(events: DataFrame, path: str) -> None:
     )
 
 
+def day_range_filter(days: list[str], ts_col: str = "ts") -> Column:
+    """OR of half-open [day 00:00, next-day 00:00) timestamp ranges.
+
+    Plain ``ts >= lit AND ts < lit`` comparisons on the stored column —
+    no ``to_date(ts)`` computed column — so the predicate reaches the
+    parquet scan as PushedFilters and row-group min/max stats skip every
+    untouched day (pinned by test_refresh_filter_is_pushed_down). At
+    100 TB this is what makes a one-day refresh read one day instead of
+    the corpus."""
+    cond: Column | None = None
+    for d in days:
+        day = datetime.date.fromisoformat(str(d))
+        nxt = day + datetime.timedelta(days=1)
+        this = (F.col(ts_col) >= F.lit(day.isoformat()).cast("timestamp")) & (
+            F.col(ts_col) < F.lit(nxt.isoformat()).cast("timestamp")
+        )
+        cond = this if cond is None else (cond | this)
+    if cond is None:
+        return F.lit(False)
+    return cond
+
+
+def _delete_day_chunks(spark: SparkSession, path: str, days: list[str]) -> None:
+    """Remove the given day partition directories via the Hadoop
+    FileSystem API (works for file://, hdfs://, s3a:// alike)."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    for d in days:
+        chunk = jvm.org.apache.hadoop.fs.Path(path, f"day={d}")
+        if fs.exists(chunk):
+            fs.delete(chunk, True)
+
+
 def rollup_refresh(
     events: DataFrame, path: str, days: list[str]
 ) -> None:
     """Incremental refresh: recompute ONLY the given day chunks.
 
-    The source filter prunes the scan to the changed days, and dynamic
-    partition overwrite replaces exactly those chunk directories —
-    every other day's files are untouched (pinned by
-    test_refresh_rewrites_only_changed_chunk)."""
+    The source filter is a pushdown-able half-open ``ts`` range per day
+    (see day_range_filter), and dynamic partition overwrite replaces
+    exactly those chunk directories — every other day's files are
+    untouched (pinned by test_refresh_rewrites_only_changed_chunk).
+    A requested day whose source rows have vanished (retraction /
+    deletion) gets its stale chunk directory deleted explicitly, so the
+    read-back always equals the defining query over the refreshed days
+    (pinned by test_refresh_clears_vanished_chunk)."""
     spark = events.sparkSession
-    changed = _with_chunk(events).filter(
-        F.col("day").cast("string").isin([str(d) for d in days])
-    )
-    rolled = hourly_rollup(changed.drop("day"))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    changed = events.filter(day_range_filter([str(d) for d in days]))
+    rolled = hourly_rollup(changed)
+    # Aggregate output is tiny (≤ hours×types rows per refreshed day);
+    # persist so the days-present probe and the write share one source
+    # scan instead of two.
+    rolled = rolled.persist()
     try:
-        (
-            rolled.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
+        present = {
+            str(r["day"]) for r in rolled.select("day").distinct().collect()
+        }
+        vanished = [str(d) for d in days if str(d) not in present]
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                rolled.repartition("day")
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if vanished:
+            _delete_day_chunks(spark, path, vanished)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        rolled.unpersist()
 
 
 def rollup_read(spark: SparkSession, path: str) -> DataFrame:

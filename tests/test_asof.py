@@ -46,6 +46,34 @@ def test_asof_multiple_payload_columns(spark):
     assert (row["p"], row["g"]) == (6, "v2")
 
 
+def test_asof_null_payload_is_atomic(spark):
+    """ADVICE r3 (medium): a matched right row whose payload value is
+    NULL must yield NULL — not an older row's value — and all payload
+    columns must come from the SAME right row."""
+    left = _df(spark, [(1, 15, 7)], "user long, t long, event long")
+    # newest at-or-before row (t=12) has price NULL but tag 'v2'; the old
+    # per-column last(ignorenulls) carried price=5 from t=10 — mixing rows
+    right = _df(
+        spark, [(1, 10, 5, "v1"), (1, 12, None, "v2")],
+        "user long, t long, price long, tag string",
+    )
+    row = asof.asof_join(
+        left, right, ["user"], "t", {"price": "p", "tag": "g"}
+    ).collect()[0]
+    assert (row["p"], row["g"]) == (None, "v2")
+
+
+def test_asof_null_right_ts_is_no_match(spark):
+    """ADVICE r3 (low): right rows with NULL ts can never be 'at or
+    before' anything — DuckDB ASOF / merge_asof parity."""
+    left = _df(spark, [(1, 15, 7)], "user long, t long, event long")
+    right = _df(
+        spark, [(1, None, 5)], "user long, t long, price long"
+    )
+    row = asof.asof_join(left, right, ["user"], "t", {"price": "p"}).collect()[0]
+    assert row["p"] is None
+
+
 def test_asof_single_window_operator(spark):
     left = _df(spark, [(1, 15, 7)], "user long, t long, event long")
     right = _df(
