@@ -32,6 +32,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc appearing in ``pairs``;
     cluster_id = the smallest doc id reachable through the pair graph —
@@ -40,23 +41,39 @@ def duplicate_clusters(
     Convergence is checked per round (one count of changed labels);
     raises if the graph hasn't settled within ``max_rounds`` (graph
     diameter > max_rounds — pathological for dup clusters).
+
+    ``checkpoint_dir``: by default each round truncates lineage with
+    ``localCheckpoint`` — fast, but its blocks live on executors, so on
+    a real cluster a single executor loss late in the loop fails the
+    job with no recompute path (VERDICT r3 item 4). Pass a reliable
+    location (HDFS/S3) for cluster runs: rounds then use
+    ``checkpoint()`` against that directory, which survives executor
+    loss at the cost of a write per round (the label table is tiny —
+    one row per doc in the pair graph, not per corpus doc).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = _persist(
         edges.unionAll(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    # localCheckpoint (eager), NOT persist: each round's plan references
+    # Checkpoint (eager), NOT persist: each round's plan references
     # the previous round's labels TWICE (neighbor join + fixpoint
     # compare), so an un-truncated lineage doubles per round — 2^rounds
     # analyzed-plan nodes OOMs the driver near round 11. Checkpointing
     # cuts the plan to the materialized partitions every round.
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         neighbor_min = (
@@ -64,7 +81,7 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -72,7 +89,6 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

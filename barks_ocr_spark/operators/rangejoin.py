@@ -3,7 +3,7 @@
 ``point JOIN intervals ON lo <= x < hi`` has no hash key, so Spark
 plans it as a (broadcast) nested-loop — fine for a broadcast-sized
 interval dim, quadratic disaster when both sides are large. The banded
-form restores a hash key: pick a band width w, explode每 each interval
+form restores a hash key: pick a band width w, explode each interval
 to one row per w-aligned band it overlaps, map each point to its single
 band, equi-join on the band, then re-check the exact predicate. A point
 matches an interval in exactly one band (its own), so no dedup pass is

@@ -71,3 +71,30 @@ def test_canonical_docs(spark):
         for r in clusters.canonical_docs(cl).collect()
     }
     assert sizes == {1: 3, 7: 2}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """VERDICT r3 item 6: with checkpoint_dir set, rounds use reliable
+    checkpoint() files (survive executor loss on a real cluster) and
+    the result is identical to the localCheckpoint default."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 20)]
+    ckdir = str(tmp_path / "ck")
+    got = sorted(
+        map(
+            tuple,
+            clusters.duplicate_clusters(
+                _pairs(spark, edges), checkpoint_dir=ckdir
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, clusters.duplicate_clusters(_pairs(spark, edges)).collect())
+    )
+    assert got == want
+    # the reliable path actually wrote RDD checkpoint files
+    import os
+
+    found = []
+    for root, _, files in os.walk(ckdir):
+        found.extend(files)
+    assert found, "no reliable checkpoint files written"

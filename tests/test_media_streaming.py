@@ -51,32 +51,82 @@ def test_real_decode_is_stubbed():
         media._decode_image(b"\x89PNG....")
 
 
-def test_real_decode_dispatches_to_pil(monkeypatch):
-    """With an importable PIL, non-fake blobs route to Image.open — the
-    same wheel decodes real blobs on a cluster that has the libs."""
+def _fake_pil(monkeypatch, open_fn):
     import sys
     import types
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = open_fn
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+
+def test_real_decode_dispatches_to_pil(monkeypatch):
+    """With an importable PIL, non-fake blobs route to Image.open — the
+    same wheel decodes real blobs on a cluster that has the libs. The
+    decode source is surfaced so image_metadata's format column reports
+    the real codec (VERDICT r3)."""
 
     class _Img:
         size = (7, 5)
 
-        def getbands(self):
-            return ("R", "G", "B")
+        def convert(self, mode):
+            assert mode == "RGB"  # real decodes normalize byte order
+            return self
 
         def tobytes(self):
             return b"xyz"
 
-    pil = types.ModuleType("PIL")
-    pil_image = types.ModuleType("PIL.Image")
-    pil_image.open = lambda fp: _Img()
-    pil.Image = pil_image
-    monkeypatch.setitem(sys.modules, "PIL", pil)
-    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
-    assert media._decode_image(b"\x89PNG....") == (7, 5, 3, b"xyz")
+    _fake_pil(monkeypatch, lambda fp: _Img())
+    assert media._decode_image(b"\x89PNG....") == (7, 5, 3, b"xyz", "pil")
     # the fake codec still wins for fake blobs
     blob = media.encode_fake_image(3, 2, 1, seed=4)
-    w, h, c, _ = media._decode_image(blob)
-    assert (w, h, c) == (3, 2, 1)
+    w, h, c, _, source = media._decode_image(blob)
+    assert (w, h, c, source) == (3, 2, 1, "fake")
+
+
+def test_pil_decode_failure_falls_through_to_cv2(monkeypatch):
+    """ADVICE r3: an importable PIL that CANNOT decode the blob
+    (UnidentifiedImageError is an OSError) must not mask cv2; and the
+    cv2 path converts BGR→RGB so both libs return identical bytes."""
+    import sys
+    import types
+
+    import numpy as np
+
+    def _raise(fp):
+        raise OSError("cannot identify image file")
+
+    _fake_pil(monkeypatch, _raise)
+
+    calls = {}
+    cv2 = types.ModuleType("cv2")
+    cv2.IMREAD_COLOR = 1
+    cv2.COLOR_BGR2RGB = 4
+
+    def _imdecode(buf, flags):
+        return np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+
+    def _cvt(arr, code):
+        calls["cvt"] = code
+        return arr[:, :, ::-1]
+
+    cv2.imdecode = _imdecode
+    cv2.cvtColor = _cvt
+    monkeypatch.setitem(sys.modules, "cv2", cv2)
+
+    w, h, c, payload, source = media._decode_image(b"\x89PNG....")
+    assert (w, h, c, source) == (7, 5, 3, "cv2")
+    assert calls["cvt"] == cv2.COLOR_BGR2RGB
+    want = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)[:, :, ::-1]
+    assert payload == want.tobytes()
+
+
+def test_image_metadata_reports_decode_source(spark):
+    out = media.image_metadata(_media_df(spark)).collect()
+    assert {r["format"] for r in out} == {"fake"}
 
 
 def test_streaming_extraction_matches_batch(spark, tmp_path):
