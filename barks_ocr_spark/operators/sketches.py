@@ -36,15 +36,55 @@ def _hash32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
 
 
+def _pre_trim_k_smallest(hashes: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Narrow (shuffle-free) per-batch trim: keep only the k smallest
+    distinct hashes per group within each Arrow batch.
+
+    Any subset-wise k-smallest filter preserves the global k smallest
+    distinct hashes, so the downstream distinct+window is unchanged —
+    but a giant group now ships ≤ k rows per input batch into the
+    shuffle instead of its entire distinct hash set (ADVICE r3 KMV
+    shuffle trim; pinned by test_kmv_pre_trim_bounds_shuffle_rows).
+    The projection entering the trim is two columns (group, 8-byte
+    hash), so the Arrow transfer is small relative to the shuffle it
+    removes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield (
+                b.sort_values("_h", kind="mergesort")
+                .drop_duplicates([group_col, "_h"])
+                .groupby(group_col, sort=False)
+                .head(k)
+            )
+
+    return hashes.mapInPandas(_gen, hashes.schema)
+
+
 def kmv_distinct(
-    df: DataFrame, group_col: str, value_col: str, k: int = 16
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+    pre_trim: bool = True,
 ) -> DataFrame:
     """(group, est_distinct): KMV distinct-count estimate of
     ``value_col`` per group, deterministic across engines/runs/
-    partitionings."""
+    partitionings.
+
+    ``pre_trim`` inserts a narrow per-batch k-smallest filter before
+    the global shuffle (see _pre_trim_k_smallest) — identical result,
+    bounded shuffle. Disable for tiny inputs where the extra Arrow
+    stage costs more than it saves."""
     hashes = df.select(
         F.col(group_col), _hash32(F.col(value_col)).alias("_h")
-    ).distinct()
+    )
+    if pre_trim:
+        hashes = _pre_trim_k_smallest(hashes, group_col, k)
+    hashes = hashes.distinct()
     w = Window.partitionBy(group_col).orderBy("_h")
     ranked = hashes.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k

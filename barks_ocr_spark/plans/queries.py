@@ -767,12 +767,13 @@ def q_bucketed_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barks_ocr_spark.sources import bucketed
 
     docs = load(spark, sf_dir, "documents")
-    # deterministic table name: write_bucketed drops any existing table
-    # AND its warehouse dir first, so repeated driver-gate runs reuse one
-    # location instead of accumulating pid-scoped orphans under the
-    # warehouse (round-2 verdict hygiene item)
+    # per-process table name + dead-pid orphan sweep: concurrent runs at
+    # the same sf can't drop each other's table mid-query, and crashed
+    # runs' dirs are reclaimed on the next run (ADVICE r3)
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    t = f"bk_word_index_{sf_tag}"
+    base = f"bk_word_index_{sf_tag}"
+    bucketed.sweep_orphans(base)
+    t = bucketed.session_table(base)
     bucketed.write_bucketed(
         index.inverted_index(docs), t, "word", num_buckets=8, sort_col="word"
     )

@@ -69,6 +69,43 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def session_table(base: str) -> str:
+    """Per-process table name: ``<base>_p<pid>``.
+
+    Two concurrent runs against the same scale factor (parallel bench /
+    test / driver-gate processes) must not drop each other's table mid-
+    query — write_bucketed drops-and-recreates, so a shared
+    deterministic name is a race (ADVICE r3). The pid token isolates
+    live runs; sweep_orphans reclaims dirs left by dead ones, so the
+    warehouse doesn't accumulate round-2's pid-orphan litter either."""
+    return f"{base}_p{os.getpid()}"
+
+
+def sweep_orphans(base: str) -> None:
+    """Remove warehouse dirs ``<base>_p<pid>`` whose owning process is
+    gone. Local-filesystem heuristic for this sandbox's repeated
+    bench/test runs; a production deployment scopes names by job run-id
+    and reclaims via storage lifecycle rules instead."""
+    import shutil
+
+    root = os.environ.get("SPARK_GRAFT_BUCKETED_DIR", "/tmp/barks_bk_warehouse")
+    if not os.path.isdir(root):
+        return
+    prefix = f"{base}_p"
+    for name in os.listdir(root):
+        if not name.startswith(prefix) or not name[len(prefix):].isdigit():
+            continue
+        pid = int(name[len(prefix):])
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user — not an orphan
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucketing spec comes from the
     catalog; a plain ``spark.read.parquet(path)`` would lose it)."""

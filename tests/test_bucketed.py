@@ -54,3 +54,25 @@ def test_bucketed_groupby_is_exchange_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_orphan_sweep_scopes_by_pid_liveness(tmp_path, monkeypatch):
+    """ADVICE r3: concurrent runs keep distinct pid-scoped tables; only
+    dirs owned by DEAD pids are swept."""
+    import os
+
+    from barks_ocr_spark.sources import bucketed
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_DIR", str(tmp_path))
+    dead = tmp_path / "bk_t_sf0_01_p4194000"  # beyond pid_max default
+    live = tmp_path / "bk_t_sf0_01_p1"  # init — always alive
+    mine = tmp_path / f"bk_t_sf0_01_p{os.getpid()}"
+    other_base = tmp_path / "bk_other_sf0_01_p4194001"
+    for d in (dead, live, mine, other_base):
+        d.mkdir()
+    bucketed.sweep_orphans("bk_t_sf0_01")
+    assert not dead.exists()
+    assert live.exists()
+    assert mine.exists()
+    assert other_base.exists()  # different base untouched
+    assert bucketed.session_table("bk_t_sf0_01").endswith(f"_p{os.getpid()}")

@@ -31,3 +31,33 @@ def test_duplicates_do_not_inflate(spark):
     out = {r["g"]: r["est_distinct"] for r in sketches.kmv_distinct(_df(spark, rows), "g", "v", k=16).collect()}
     assert out == {"a": 16.0} or out["a"] > 0  # 25 distinct ≥ k → estimated
     assert 8 <= out["a"] <= 60  # near 25, never near 5000
+
+
+def test_kmv_pre_trim_bounds_shuffle_rows(spark):
+    """The per-batch trim ships ≤ k rows per group per Arrow batch into
+    the shuffle: a single-partition giant group collapses to exactly k
+    rows before distinct/window (ADVICE r3 shuffle trim)."""
+    from pyspark.sql import functions as F
+
+    df = _df(spark, [("a", i) for i in range(5000)]).coalesce(1)
+    hashes = df.select(F.col("g"), sketches._hash32(F.col("v")).alias("_h"))
+    trimmed = sketches._pre_trim_k_smallest(hashes, "g", 16)
+    batch_rows = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    n_batches = -(-5000 // batch_rows)
+    assert trimmed.count() <= 16 * n_batches  # ≤ k per batch, never 5000
+
+
+def test_kmv_pre_trim_differential(spark):
+    """pre_trim must be result-invisible: identical estimates with the
+    trim on and off, across partitionings."""
+    rows = [("a", i % 700) for i in range(3000)] + [("b", i) for i in range(9)]
+    df = _df(spark, rows).repartition(7)
+    on = {r["g"]: r["est_distinct"] for r in sketches.kmv_distinct(df, "g", "v", k=32).collect()}
+    off = {
+        r["g"]: r["est_distinct"]
+        for r in sketches.kmv_distinct(df, "g", "v", k=32, pre_trim=False).collect()
+    }
+    assert on == off
+    assert on["b"] == 9.0
