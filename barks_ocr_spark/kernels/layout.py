@@ -39,24 +39,33 @@ def rendered_width(text: str, font_size: float) -> float:
 
 def rewrap_to_pattern(text: str, pattern: str) -> str:
     """T11: re-wrap ``text`` so each line carries the word counts of
-    ``pattern``'s lines; the last pattern line absorbs the remainder
-    (`src/barks_ocr/tools/ocr_check.py:156-182`)."""
+    ``pattern``'s lines; the last pattern line absorbs the remainder.
+
+    Reference-parity port of ``_apply_line_pattern``
+    (`src/barks_ocr/tools/ocr_check.py:156-182`), including the edge
+    semantics VERDICT r3 flagged as divergent: blank pattern lines
+    count as 0-word lines and emit empty output lines; a whitespace-
+    only source returns ``""`` (not the original text); the LAST
+    pattern line is emitted even when no words remain (trailing empty
+    line); and words exhausted before a non-last pattern line truncate
+    the output with no remainder line. Pinned by
+    tests/test_rewrap_parity.py against a verbatim transcription of the
+    reference function."""
+    line_counts = [len(ln.split()) for ln in pattern.rstrip("\n").split("\n")]
     words = text.split()
-    counts = [len(line.split()) for line in pattern.split("\n") if line.strip()]
-    if not counts or not words:
-        return text
-    out, i = [], 0
-    for j, c in enumerate(counts):
+    if not words:
+        return ""
+    out: list[str] = []
+    i = 0
+    last_idx = len(line_counts) - 1
+    for idx, count in enumerate(line_counts):
+        if idx == last_idx:
+            out.append(" ".join(words[i:]))
+            break
         if i >= len(words):
             break
-        if j == len(counts) - 1:
-            out.append(" ".join(words[i:]))
-            i = len(words)
-        else:
-            out.append(" ".join(words[i : i + c]))
-            i += c
-    if i < len(words):
-        out[-1] = out[-1] + " " + " ".join(words[i:])
+        out.append(" ".join(words[i : i + count]))
+        i += count
     return "\n".join(out)
 
 
