@@ -80,6 +80,7 @@ def run_headline() -> None:
             unpersist_intermediates()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    spark.stop()
     print(
         json.dumps(
             {
@@ -88,10 +89,46 @@ def run_headline() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "host_norm": _host_norm(),
             }
         )
     )
-    spark.stop()
+
+
+def _host_norm() -> dict:
+    """In-run host-speed normalizer (VERDICT r3 item 2): the bare
+    extraction kernel in isolated OS processes (no Spark), measured in
+    THIS run. Query walls on this shared box drift ~1.3-2× run-to-run
+    with no code change, so cross-round per-query deltas are only
+    comparable after dividing by the host-speed ratio:
+    ``delta = (t_new / t_old) * (norm_new / norm_old)`` where norm is
+    ``kernel_docs_per_sec`` (faster host → bigger norm). Runs AFTER the
+    Spark session stops so the probe measures the host, not contention
+    with our own executor threads."""
+    import subprocess
+
+    procs = 8  # fixed small level: normalizes host speed, not scaling
+    env = dict(os.environ, SPARK_GRAFT_KERNEL_PROBE_SECONDS="6")
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                str(REPO / "scripts" / "kernel_scaling_probe.py"),
+                str(procs),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            env=env,
+            timeout=180,
+        )
+        line = json.loads(out.stdout.strip().splitlines()[0])
+        return {
+            "kernel_procs": procs,
+            "kernel_docs_per_sec": line["docs_per_sec"],
+        }
+    except Exception as e:  # noqa: BLE001 - normalizer must never fail the bench
+        return {"kernel_procs": procs, "error": str(e)[:200]}
 
 
 def _extraction_throughput(n_cores: int, docs_path: str, n_docs: int) -> dict:

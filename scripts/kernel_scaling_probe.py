@@ -14,13 +14,16 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-PROBE_SECONDS = 12
+# bench.py headline mode runs a single short probe as its host-speed
+# normalizer; the full --scaling sweep uses the default 12 s
+PROBE_SECONDS = float(os.environ.get("SPARK_GRAFT_KERNEL_PROBE_SECONDS", "12"))
 DOCS_PER_BATCH = 5000
 
 
