@@ -74,6 +74,107 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    taken by the most frequent unigram / bigram, and the fraction of
+    trigrams that occur more than once — the standard pretraining
+    repetition filter family.
+
+    Plan shape: one explode of (kind, gram) rows built JVM-side
+    (zip_with over sliced word arrays — no Python), then hash aggregates
+    keyed by doc-level keys with map-side partial aggregation at every
+    step; no joins. Three successive keyed aggregates (doc+kind+gram →
+    doc+kind → doc) — each strictly reduces cardinality, so at 100 TB the
+    first shuffle dominates and is proportional to token count.
+    """
+    text = F.col(text_col)
+    ws = words_col(text)
+    n = F.size(ws)
+    # equal-length slices so zip_with never null-pads
+    bi = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tri_len = F.greatest(n - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(ws, 1, tri_len),
+            F.slice(ws, 2, tri_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(ws, 3, tri_len),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+
+    def tagged(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(kind).alias("kind"), g.alias("gram")
+            ),
+        )
+
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(tagged("uni", ws), tagged("bi", bi), tagged("tri", tri))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    per_kind = (
+        exploded.groupBy("doc_id", "kind", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "kind")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("total"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).alias("dup_cnt"),
+        )
+    )
+    pv = per_kind.groupBy("doc_id").pivot("kind", ["uni", "bi", "tri"]).agg(
+        F.first("top_cnt").alias("top"),
+        F.first("total").alias("total"),
+        F.first("dup_cnt").alias("dup"),
+    )
+    frac = lambda a, b: F.coalesce(  # noqa: E731
+        F.round(a.cast("double") / b, 6), F.lit(0.0)
+    )
+    return pv.select(
+        "doc_id",
+        frac(F.col("uni_top"), F.col("uni_total")).alias("top_unigram_frac"),
+        frac(F.col("bi_top"), F.col("bi_total")).alias("top_bigram_frac"),
+        frac(F.col("tri_dup"), F.col("tri_total")).alias("dup_trigram_frac"),
+    )
+
+
+# PII patterns: intentionally the same safe regex subset in Java (Spark)
+# and RE2 (DuckDB oracle) — char classes, bounded repeats, \b only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-\d{4}\b"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phones in place and count them — the standard
+    pretraining PII scrub. Pure projection (regexp_replace +
+    regexp_extract_all inside codegen): zero shuffle at any scale."""
+    text = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
 def canonical_text(text: Column) -> Column:
     """Fingerprint canonicalization: lowercase, strip non-alnum-space,
     collapse whitespace."""

@@ -2621,6 +2621,123 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ════════════════════════════════════════════════════════════════════════
+# Training-data hygiene: repetition filter, PII scrub, decontamination
+# ════════════════════════════════════════════════════════════════════════
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-unigram/bigram fraction,
+    duplicated-trigram fraction) per document."""
+    return textstats.repetition_scores(load(spark, sf_dir, "documents"))
+
+
+_SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, 'uni' AS kind, unnest(ws) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 'bi', unnest([concat_ws(' ', ws[i], ws[i+1])
+    for i in generate_series(1, greatest(len(ws)-1, 0))]) FROM w
+  UNION ALL
+  SELECT doc_id, 'tri', unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+    for i in generate_series(1, greatest(len(ws)-2, 0))]) FROM w
+), c AS (
+  SELECT doc_id, kind, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, kind, gram
+), k AS (
+  SELECT doc_id, kind, MAX(cnt) AS top_cnt, SUM(cnt) AS total,
+    COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup_cnt
+  FROM c GROUP BY doc_id, kind
+)
+SELECT doc_id,
+  COALESCE(ROUND(CAST(MAX(top_cnt) FILTER (kind = 'uni') AS DOUBLE)
+    / MAX(total) FILTER (kind = 'uni'), 6), 0.0) AS top_unigram_frac,
+  COALESCE(ROUND(CAST(MAX(top_cnt) FILTER (kind = 'bi') AS DOUBLE)
+    / MAX(total) FILTER (kind = 'bi'), 6), 0.0) AS top_bigram_frac,
+  COALESCE(ROUND(CAST(MAX(dup_cnt) FILTER (kind = 'tri') AS DOUBLE)
+    / MAX(total) FILTER (kind = 'tri'), 6), 0.0) AS dup_trigram_frac
+FROM k GROUP BY doc_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically planted corpus (the raw corpus
+    contains no emails/phones — both engines apply the identical plant,
+    then redact + count)."""
+    from barks_ocr_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0199")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return ts.pii_redact(docs)
+
+
+_SQL_PII_REDACT = """
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\\b555-\\d{4}\\b', '[PHONE]', 'g') AS text_redacted,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\\b555-\\d{4}\\b')) AS BIGINT) AS n_phones
+FROM planted
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs with doc_id % 97 == 0 act as the
+    held-out benchmark; the rest are the corpus. Word trigrams (n=3 —
+    the corpus vocabulary is small, so trigram collisions are plentiful
+    enough to exercise the join; production default is 5+)."""
+    from barks_ocr_spark.operators import decontam
+
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.contamination(corpus, eval_docs, n=3)
+
+
+_SQL_CONTAMINATION = f"""
+WITH canon AS (
+  SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+    for i in generate_series(1, greatest(len(ws)-2, 0))]) AS grams
+  FROM canon
+), eg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), dg AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+  FROM g WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / n_grams, 6) AS contam_frac
+FROM dg JOIN eg USING (gram)
+GROUP BY doc_id, n_grams
+"""
+
+
+# ════════════════════════════════════════════════════════════════════════
 # Registry
 # ════════════════════════════════════════════════════════════════════════
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -2653,6 +2770,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "quality_scores": (q_quality_scores, _SQL_QUALITY),
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, _SQL_FINGERPRINTS),
+    "repetition_scores": (q_repetition_scores, _SQL_REPETITION),
+    "pii_redact": (q_pii_redact, _SQL_PII_REDACT),
+    "contamination": (q_contamination, _SQL_CONTAMINATION),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
     "dup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),

@@ -1,0 +1,121 @@
+"""Training-data hygiene operators: repetition scores, PII redaction,
+benchmark decontamination (operators/textstats.py, operators/decontam.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barks_ocr_spark.operators import decontam, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ── repetition_scores ──────────────────────────────────────────────────
+def test_repetition_all_same_word(spark):
+    out = textstats.repetition_scores(_docs(spark, [(1, "x x x x")])).collect()[0]
+    assert out["top_unigram_frac"] == 1.0
+    assert out["top_bigram_frac"] == 1.0  # "x x" three times
+    assert out["dup_trigram_frac"] == 1.0  # "x x x" twice
+
+
+def test_repetition_all_distinct(spark):
+    out = textstats.repetition_scores(_docs(spark, [(1, "a b c d e")])).collect()[0]
+    assert out["top_unigram_frac"] == 0.2
+    assert out["top_bigram_frac"] == 0.25
+    assert out["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_short_docs(spark):
+    # 1 word: no bigrams/trigrams → 0.0, not null/error
+    # 2 words: one bigram (frac 1.0), no trigrams
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_scores(
+            _docs(spark, [(1, "solo"), (2, "a b")])
+        ).collect()
+    }
+    assert rows[1]["top_unigram_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 0.0
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 1.0
+    assert rows[2]["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_mixed_case_whitespace(spark):
+    # lowercased + whitespace-split like the other textstats ops
+    out = textstats.repetition_scores(
+        _docs(spark, [(1, "  The THE the  ")])
+    ).collect()[0]
+    assert out["top_unigram_frac"] == 1.0
+
+
+# ── pii_redact ─────────────────────────────────────────────────────────
+def test_pii_redact_counts_and_text(spark):
+    out = textstats.pii_redact(
+        _docs(
+            spark,
+            [
+                (1, "mail a.b+c@ex-amp.le.org or b@x.io call 555-0147 now"),
+                (2, "clean text with no pii at all"),
+                (3, "5555-01234 is not a phone and a@b is not an email"),
+            ],
+        )
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    assert (
+        rows[1]["text_redacted"]
+        == "mail [EMAIL] or [EMAIL] call [PHONE] now"
+    )
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["text_redacted"] == "clean text with no pii at all"
+    # \b guards: digit-prefixed phone shape and TLD-less email don't fire
+    assert rows[3]["n_emails"] == 0 and rows[3]["n_phones"] == 0
+
+
+# ── decontam ───────────────────────────────────────────────────────────
+def test_word_ngrams_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d e")]).select(
+        "doc_id", decontam.word_ngrams(F.col("text"), 5).alias("g")
+    )
+    rows = {r["doc_id"]: r["g"] for r in df.collect()}
+    assert rows[1] == []  # 4 words < n=5: no partial grams
+    assert rows[2] == ["a b c d e"]
+
+
+def test_word_ngrams_canonicalized_distinct(spark):
+    df = _docs(spark, [(1, "A b! a B a b")]).select(
+        decontam.word_ngrams(F.col("text"), 2).alias("g")
+    )
+    assert df.collect()[0]["g"] == ["a b", "b a"]  # distinct, canon text
+
+
+def test_contamination_counts(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a quick brown fox jumps high"),  # 2/4 trigrams hit
+            (2, "totally different words here now"),  # 0 hits → dropped
+            (3, "quick brown fox"),  # 1/1 hit
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "a quick brown fox story")])
+    out = {
+        r["doc_id"]: r
+        for r in decontam.contamination(corpus, eval_docs, n=3).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_grams"] == 4 and out[1]["n_contaminated"] == 2
+    assert out[1]["contam_frac"] == 0.5
+    assert out[3]["n_grams"] == 1 and out[3]["n_contaminated"] == 1
+
+
+def test_contamination_eval_grams_broadcast(spark):
+    """The eval-gram side must broadcast: the corpus never reshuffles."""
+    corpus = _docs(spark, [(1, "a b c d e")])
+    eval_docs = _docs(spark, [(9, "a b c")])
+    plan = decontam.contamination(corpus, eval_docs, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
