@@ -351,6 +351,11 @@ The same extraction kernel as isolated OS processes
 |---|---|---|
 {kernel_rows}
 
+A stage-level decomposition of where the below-ceiling loss goes —
+with direction-isolated IPC probes, GC/heap/batch-size/file-count
+A/Bs, and the negative results that pin the shipped config as the
+job-level optimum — is in [PROFILE.md](PROFILE.md).
+
 Bare-kernel {low}→{high} efficiency: **{keff}**.
 **Ceiling-normalized job efficiency: {eff} / {keff} = {round(eff / keff, 2)}** —
 the share of this box's achievable scaling the Spark job retains; on a

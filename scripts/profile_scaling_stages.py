@@ -10,6 +10,9 @@ own 8→32 scaling, so the below-ceiling loss (VERDICT r3: 0.709 raw vs
               text bytes (codegen, no Python)
   noop_py     scan → mapInArrow(identity) → size — the Arrow IPC
               round-trip with zero kernel compute
+  py_read     scan → mapInArrow that consumes each batch and returns
+              only its row count — the JVM→Python leg alone, isolating
+              which direction of the IPC round-trip stops scaling
   pass1       repeating_heading_set (scan → Python candidates →
               groupBy → TakeOrdered collect)
   pass2       extract with a precomputed empty heading set (scan →
@@ -37,7 +40,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-STAGES = ["jvm_scan", "jvm_text", "noop_py", "pass1", "pass2", "full"]
+STAGES = ["jvm_scan", "jvm_text", "noop_py", "py_read", "pass1", "pass2", "full"]
 
 
 def _probe(stage: str, cores: int, docs_path: str, confs: dict[str, str]) -> float:
@@ -73,6 +76,17 @@ def _probe(stage: str, cores: int, docs_path: str, confs: dict[str, str]) -> flo
             narrow.mapInArrow(_ident, narrow.schema).select(
                 F.sum(F.size("spans"))
             ).collect()
+        elif stage == "py_read":
+            import pyarrow as pa
+
+            def _counts(batches):
+                for b in batches:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([b.num_rows], type=pa.int64())], ["n"]
+                    )
+
+            narrow = docs.select("doc_id", "spans")
+            narrow.mapInArrow(_counts, "n long").select(F.sum("n")).collect()
         elif stage == "pass1":
             extraction.repeating_heading_set(docs)
         elif stage == "pass2":

@@ -83,3 +83,23 @@ def test_hyphen_dups_broadcasts_hyphenated_sliver(spark):
     plan = _plan(Q.q_index_hyphen_dups(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_scores_aggregates_partially(spark):
+    # the doc+kind+gram count (the token-proportional first shuffle)
+    # must map-side combine, or the shuffle ships one row per token
+    plan = _plan(Q.q_repetition_scores(spark, SF))
+    assert "partial_count" in plan
+
+
+def test_pii_redact_is_pure_projection(spark):
+    plan = _plan(Q.q_pii_redact(spark, SF))
+    assert "Exchange" not in plan  # zero shuffle at any scale
+
+
+def test_contamination_never_shuffles_corpus(spark):
+    # eval grams broadcast; the fat corpus side must not exchange other
+    # than the final per-doc aggregate (which is doc-local)
+    plan = _plan(Q.q_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
