@@ -400,3 +400,69 @@ def simhash_near_duplicates(
     return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def remove_repeated_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    delim_re: str = r"\.\s+",
+    joiner: str = ". ",
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal: split each document
+    into sentence chunks (``delim_re``-delimited), drop every chunk whose
+    exact text occurs in ≥ ``min_docs`` DISTINCT documents, reassemble
+    the survivors in original order. Output: (doc_id, text_clean,
+    n_chunks, n_removed); a doc whose every chunk was boilerplate stays
+    in the output with empty text (removal must not silently drop rows).
+
+    Scale shape: explode → hash aggregate on the chunk text
+    (countDistinct doc_id, map-side partial) → anti-join chunks against
+    the repeated set → per-doc reassemble via collect_list of
+    (pos, chunk) structs + array_sort (deterministic order without a
+    per-doc window sort). The chunk-keyed aggregate and join are the
+    token-proportional shuffles; the repeated-chunk set is typically
+    tiny (true boilerplate) so AQE picks a broadcast for the anti-join
+    at runtime — but correctness never depends on it fitting in memory.
+    Reassembly note: the joiner re-canonicalizes delimiters (split
+    drops them), so ``text_clean`` equality is up to delimiter
+    whitespace — documented, and replayed identically by the oracle.
+    """
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), delim_re),
+                lambda c: F.trim(c) != "",
+            )
+        ).alias("pos", "chunk"),
+    )
+    repeated = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(repeated, "chunk", "left_anti")
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

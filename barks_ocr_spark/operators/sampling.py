@@ -105,3 +105,46 @@ def split_train_test(
     return df.withColumn(
         "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    size_col: Column | None = None,
+) -> DataFrame:
+    """Token-budget mixture sampling: per group (source/domain/language),
+    keep documents in deterministic md5 order until the group's
+    cumulative token count reaches ``budget_tokens`` — the standard way
+    a training mix caps each source by tokens rather than by docs. The
+    document that crosses the budget line is KEPT (budgets are floors of
+    coverage, not ceilings), matching the usual pack-until-full rule.
+
+    Scale shape: one hash partition on the group + a running-sum window
+    in md5 order — same single-shuffle shape as pack_documents; skewed
+    giant groups are bounded by the budget itself (the window can
+    short-circuit nothing, but the output per group is ~budget tokens).
+    Output: (id, group, n_tokens, cum_tokens) for the kept rows —
+    cum_tokens makes the selection auditable."""
+    if size_col is None:
+        from barks_ocr_spark.operators.textstats import BPE_TOKEN_RE
+
+        size_col = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+    sized = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        size_col.cast("long").alias("n_tokens"),
+        _rank_key(id_col).alias("_rk"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_rk", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        sized.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

@@ -2737,6 +2737,83 @@ GROUP BY doc_id, n_grams
 """
 
 
+_BOILER = "all rights reserved contact the archive team for takedown requests"
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-chunk removal over a deterministically planted
+    corpus: every 4th doc gets the same appended boilerplate sentence;
+    the operator must strip it from all of them while keeping each doc's
+    unique body."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(". " + _BOILER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return dedup.remove_repeated_chunks(docs)
+
+
+_SQL_CHUNK_DEDUP = f"""
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0 THEN '. {_BOILER}' ELSE '' END AS text
+  FROM documents
+), ch0 AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\.\\s+'), c -> trim(c) <> '') AS chunks
+  FROM planted
+), ch AS (
+  SELECT doc_id, unnest(generate_series(1, len(chunks))) AS pos,
+    unnest(chunks) AS chunk
+  FROM ch0
+), rep AS (
+  SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM rep)
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id
+), reb AS (
+  SELECT doc_id, string_agg(chunk, '. ' ORDER BY pos) AS text_clean,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(text_clean, '') AS text_clean,
+  CAST(n_chunks AS BIGINT) AS n_chunks,
+  CAST(n_chunks - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN reb USING (doc_id)
+"""
+
+
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture sampling (600 BPE-ish tokens per
+    source; the doc crossing the line is kept)."""
+    from barks_ocr_spark.operators import sampling
+
+    return sampling.budget_sample(load(spark, sf_dir, "documents"), "source", 600)
+
+
+_SQL_BUDGET_SAMPLE = """
+WITH sized AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum - n_tokens < 600
+"""
+
+
 # ════════════════════════════════════════════════════════════════════════
 # Registry
 # ════════════════════════════════════════════════════════════════════════
@@ -2773,6 +2850,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "repetition_scores": (q_repetition_scores, _SQL_REPETITION),
     "pii_redact": (q_pii_redact, _SQL_PII_REDACT),
     "contamination": (q_contamination, _SQL_CONTAMINATION),
+    "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
+    "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
     "dup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),

@@ -119,3 +119,73 @@ def test_contamination_eval_grams_broadcast(spark):
     plan = decontam.contamination(corpus, eval_docs, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ── remove_repeated_chunks ─────────────────────────────────────────────
+def test_chunk_dedup_strips_shared_boilerplate(spark):
+    from barks_ocr_spark.operators import dedup
+
+    docs = _docs(
+        spark,
+        [
+            (1, "unique body one. all rights reserved"),
+            (2, "unique body two. all rights reserved"),
+            (3, "only unique content here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_repeated_chunks(docs).collect()}
+    assert out[1]["text_clean"] == "unique body one"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "unique body two"
+    assert out[3]["text_clean"] == "only unique content here"
+    assert out[3]["n_removed"] == 0
+
+
+def test_chunk_dedup_fully_boilerplate_doc_survives_empty(spark):
+    from barks_ocr_spark.operators import dedup
+
+    docs = _docs(spark, [(1, "same thing"), (2, "same thing"), (3, "else")])
+    out = {r["doc_id"]: r for r in dedup.remove_repeated_chunks(docs).collect()}
+    assert set(out) == {1, 2, 3}  # removal never drops rows
+    assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 1
+    assert out[3]["text_clean"] == "else"
+
+
+def test_chunk_dedup_preserves_order_and_intra_doc_repeats(spark):
+    from barks_ocr_spark.operators import dedup
+
+    # "dup" repeats only WITHIN doc 1 → not cross-doc → kept, in order
+    docs = _docs(spark, [(1, "a part. dup. b part. dup"), (2, "other")])
+    out = {r["doc_id"]: r for r in dedup.remove_repeated_chunks(docs).collect()}
+    assert out[1]["text_clean"] == "a part. dup. b part. dup"
+
+
+# ── budget_sample ──────────────────────────────────────────────────────
+def test_budget_sample_kept_set_and_crossing_doc(spark):
+    from barks_ocr_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    rows = [(i, "g", "w " * 10) for i in range(20)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sampling.budget_sample(df, "source", 25).orderBy("cum_tokens").collect()
+    # md5 order: 3rd doc crosses the 25-token line and is kept; 4th is not
+    assert [r["cum_tokens"] for r in out] == [10, 20, 30]
+    # determinism across partitionings
+    out2 = sampling.budget_sample(df.repartition(7), "source", 25).orderBy(
+        "cum_tokens"
+    ).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in out2]
+
+
+def test_budget_sample_per_group_independence(spark):
+    from barks_ocr_spark.operators import sampling
+
+    rows = [(i, f"g{i % 2}", "w " * 5) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sampling.budget_sample(df, "source", 11).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["source"], []).append(r["cum_tokens"])
+    # each group independently keeps docs until its own 11-token budget
+    assert sorted(by_g) == ["g0", "g1"]
+    assert all(sorted(v) == [5, 10, 15] for v in by_g.values())
