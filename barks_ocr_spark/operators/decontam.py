@@ -10,8 +10,22 @@ map-side partial aggregation on doc_id. If an eval set ever outgrew
 broadcast range, the same plan degrades gracefully to a shuffled
 semi-join on the gram hash; nothing else changes.
 
-All gram construction is JVM-side (`sequence` + `slice` + `concat_ws`
+All gram construction is JVM-side (shifted-slice `zip_with` chains
 inside whole-stage codegen) — no Python in the hot path.
+
+Expression-cost note (this bit was a measured 60× wall regression the
+naive way): grams must NOT be built as ``transform(sequence(...),
+i -> slice(ws, i, n))`` with ``ws`` an inline split/regex tree — the
+lambda body re-evaluates the whole canonicalization PER ELEMENT, and if
+``size(grams)`` and ``explode(grams)`` are then selected as sibling
+expressions the optimizer recomputes the full gram build once per
+exploded row on top (O(words²) regex passes per document; sf0.1 went
+from ~1 s to 10+ min). The shape below keeps it linear: the zip_with
+chain references ``ws`` only at top level (n evaluations per row, not
+per element), and `contamination` materializes ``grams`` as a column so
+`size`/`explode` reference an attribute Catalyst will not re-inline
+(CollapseProject keeps aliases whose expressions are non-cheap and
+multiply referenced).
 """
 
 from __future__ import annotations
@@ -26,20 +40,23 @@ DEFAULT_NGRAM = 5
 
 def word_ngrams(text: Column, n: int = DEFAULT_NGRAM) -> Column:
     """Distinct word n-grams of the canonicalized text, as an array of
-    space-joined strings. Documents shorter than ``n`` words yield an
-    empty array (no partial grams — matches the usual decontam rule that
-    a doc too short to hold one n-gram cannot collide)."""
+    space-joined strings, in first-occurrence order. Documents shorter
+    than ``n`` words yield an empty array (no partial grams — the usual
+    decontam rule that a doc too short to hold one n-gram cannot
+    collide).
+
+    Built as a chain of ``zip_with`` over n shifted equal-length slices
+    (slice lengths via ``greatest(size-n+1, 0)``, so short docs take the
+    empty path with no ``sequence(1, 0)`` count-down trap and no
+    0-start slice error)."""
     ws = F.split(canonical_text(text), " ")
-    # start offsets 1..size-n+1. NOT sequence(1, greatest(size-n+1, 0)):
-    # Spark's sequence(1, 0) counts DOWN to [1, 0] (default step -1), so
-    # a short doc would emit bogus grams (and slice(_, 0, n) errors) —
-    # docs under n words must take the explicit empty branch instead.
-    starts = F.when(
-        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
-    )
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    acc = F.slice(ws, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(ws, k, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(acc)
 
 
 def contamination(
@@ -52,10 +69,11 @@ def contamination(
     anywhere in ``eval_docs`` (doc_id, text). Returns only contaminated
     docs: (doc_id, n_grams, n_contaminated, contam_frac).
 
-    Plan: eval grams → distinct → broadcast; corpus → explode distinct
-    grams → broadcast LEFT SEMI join → count per doc → join back the
-    per-doc gram totals computed in the same projection (no second scan:
-    the total rides the exploded rows as a per-doc constant).
+    Plan: eval grams → distinct → broadcast; corpus → grams column
+    (built once per doc — see the module docstring) → size + explode →
+    broadcast LEFT SEMI join → count per doc. The per-doc total rides
+    the exploded rows as a carried attribute, so there is no second
+    scan and no join back.
     """
     eval_grams = (
         eval_docs.select(
@@ -63,10 +81,13 @@ def contamination(
         )
         .distinct()
     )
-    doc_grams = corpus.select(
+    grams = corpus.select(
+        "doc_id", word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    doc_grams = grams.select(
         "doc_id",
-        F.size(word_ngrams(F.col(text_col), n)).alias("n_grams"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
     )
     hits = doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
     return (

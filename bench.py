@@ -39,6 +39,9 @@ HEADLINE = [
     "asof_last_click",
     "running_order_total",
     "quality_scores",
+    "repetition_scores",
+    "chunk_dedup",
+    "contamination",
 ]
 
 
