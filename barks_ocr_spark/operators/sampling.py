@@ -113,6 +113,8 @@ def budget_sample(
     budget_tokens: int,
     id_col: str = "doc_id",
     size_col: Column | None = None,
+    text_col: str = "text",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Token-budget mixture sampling: per group (source/domain/language),
     keep documents in deterministic md5 order until the group's
@@ -121,30 +123,73 @@ def budget_sample(
     document that crosses the budget line is KEPT (budgets are floors of
     coverage, not ceilings), matching the usual pack-until-full rule.
 
-    Scale shape: one hash partition on the group + a running-sum window
-    in md5 order — same single-shuffle shape as pack_documents; skewed
-    giant groups are bounded by the budget itself (the window can
-    short-circuit nothing, but the output per group is ~budget tokens).
+    ``size_col`` defaults to the BPE-ish regex token count over
+    ``text_col`` (so by default the input must carry a text column);
+    pass an explicit ``size_col`` to budget on any other measure.
+
+    Scale shape — two-phase boundary refinement, never a whole-group
+    sort. The md5 rank key's first ``bucket_chars`` hex chars split each
+    group into 16^bucket_chars buckets whose lexicographic order is a
+    prefix of the full md5 order, so the global running sum decomposes
+    into (exclusive prefix of earlier buckets) + (running sum inside the
+    bucket):
+
+    1. per-(group, bucket) token totals — one parallel hash aggregate
+       with map-side combine; output is tiny (groups × 256 rows);
+    2. exclusive prefix-sum over that tiny table (a window over ≤256
+       rows per group) gives each bucket's base offset;
+    3. buckets whose base already meets the budget are pruned BEFORE any
+       sort — the exact running-sum window then runs per (group,
+       bucket), so its input is ~budget-proportional and a 20 TB group
+       never funnels through one task (the old shape's failure mode:
+       Window.partitionBy(group) sorts the entire group in one task;
+       the budget bounds the OUTPUT, not the rows the window must sort).
+
+    The bucket table joins back by broadcast (forced: it is bounded by
+    groups × 16^bucket_chars rows — at millions of domains raise
+    bucket_chars=1 or let the join fall back by removing the hint).
     Output: (id, group, n_tokens, cum_tokens) for the kept rows —
-    cum_tokens makes the selection auditable."""
+    cum_tokens makes the selection auditable and is byte-identical to
+    the single-window formulation (bucketing changes the plan, not the
+    math)."""
     if size_col is None:
         from barks_ocr_spark.operators.textstats import BPE_TOKEN_RE
 
-        size_col = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+        size_col = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+        )
     sized = df.select(
         F.col(id_col),
         F.col(group_col),
         size_col.cast("long").alias("n_tokens"),
         _rank_key(id_col).alias("_rk"),
+    ).withColumn("_bk", F.substring("_rk", 1, bucket_chars))
+    bucket_totals = sized.groupBy(group_col, "_bk").agg(
+        F.sum("n_tokens").alias("_bk_tokens")
     )
-    w = (
+    wb = (
         Window.partitionBy(group_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = bucket_totals.select(
+        group_col,
+        "_bk",
+        F.coalesce(F.sum("_bk_tokens").over(wb), F.lit(0)).alias("_bk_base"),
+    )
+    # Only buckets whose base offset is still under budget can contain
+    # kept rows; everything after the boundary bucket is dropped before
+    # the exact window ever sees it.
+    live = bases.filter(F.col("_bk_base") < budget_tokens)
+    pruned = sized.join(F.broadcast(live), [group_col, "_bk"], "inner")
+    w = (
+        Window.partitionBy(group_col, "_bk")
         .orderBy("_rk", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
+    cum = F.col("_bk_base") + F.sum("n_tokens").over(w)
     return (
-        sized.withColumn("cum_tokens", cum)
+        pruned.withColumn("cum_tokens", cum)
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )

@@ -103,3 +103,21 @@ def test_contamination_never_shuffles_corpus(spark):
     plan = _plan(Q.q_contamination(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_budget_sample_never_sorts_a_whole_group_in_one_task(spark):
+    # r4's scale-killer: Window.partitionBy(group) funnels an entire
+    # source through ONE task's sort. The two-phase shape must (a) run
+    # the exact window per (group, md5-bucket) so sort parallelism is
+    # 16^bucket_chars per group, (b) broadcast the tiny bucket table,
+    # (c) map-side combine the bucket totals.
+    plan = _plan(Q.q_budget_sample(spark, SF))
+    windows = [
+        seg.split("\n", 1)[0] for seg in plan.split("Window [")[1:]
+    ]
+    exact = [w for w in windows if "_rk" in w]
+    assert exact, "exact running-sum window missing from plan"
+    for w in exact:
+        assert "_bk" in w, f"exact window not bucket-partitioned: {w}"
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan

@@ -90,3 +90,43 @@ def test_split_extreme_fracs(spark):
     assert all_train == {"train"}
     over = {r["split"] for r in sampling.split_train_test(docs, 1.5).collect()}
     assert over == {"test"}
+
+
+def _sized_docs(spark):
+    # doc i has (i % 7 + 1) tokens; 3 sources
+    rows = [(i, f"src{i % 3}", "tok " * (i % 7 + 1)) for i in range(120)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_budget_sample_crossing_doc_kept_and_cum_exact(spark):
+    docs = _sized_docs(spark)
+    out = sampling.budget_sample(docs, "source", budget_tokens=40)
+    rows = out.collect()
+    # recompute the ground truth driver-side: md5 order per group
+    import hashlib
+
+    truth = {}
+    per_group = {}
+    for r in docs.collect():
+        per_group.setdefault(r["source"], []).append(r)
+    for src, grp in per_group.items():
+        grp.sort(key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        cum = 0
+        for r in grp:
+            n = len(r["text"].split())
+            if cum < 40:  # budget floor: the crossing doc is kept
+                truth[r["doc_id"]] = (src, n, cum + n)
+            cum += n
+    got = {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"]) for r in rows}
+    assert got == truth
+
+
+def test_budget_sample_invariant_to_bucketing_and_partitioning(spark):
+    docs = _sized_docs(spark)
+    base = sorted(map(tuple, sampling.budget_sample(docs, "source", 50).collect()))
+    for variant in (
+        sampling.budget_sample(docs.repartition(11), "source", 50),
+        sampling.budget_sample(docs, "source", 50, bucket_chars=1),
+        sampling.budget_sample(docs, "source", 50, bucket_chars=3),
+    ):
+        assert sorted(map(tuple, variant.collect())) == base
