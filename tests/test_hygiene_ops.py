@@ -189,3 +189,26 @@ def test_budget_sample_per_group_independence(spark):
     # each group independently keeps docs until its own 11-token budget
     assert sorted(by_g) == ["g0", "g1"]
     assert all(sorted(v) == [5, 10, 15] for v in by_g.values())
+
+
+def test_repetition_kernel_matches_relational(spark):
+    # the zero-shuffle kernel and the relational formulation must agree
+    # bit-for-bit — including empty text, whitespace-only text, tab
+    # edges (Spark trim strips spaces only), and repetition-heavy docs
+    rows = [
+        (1, "x x x x"),
+        (2, "a b c d e"),
+        (3, ""),
+        (4, "   "),
+        (5, "\tlead tab"),
+        (6, "one two one two one two one"),
+        (7, "Mixed   CASE  mixed case MIXED"),
+        (8, "w"),
+        (9, "p q p q p q p q p q p q p q"),
+    ]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, textstats.repetition_scores(docs).collect()))
+    b = sorted(
+        map(tuple, textstats.repetition_scores_relational(docs).collect())
+    )
+    assert a == b

@@ -85,11 +85,21 @@ def test_hyphen_dups_broadcasts_hyphenated_sliver(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_repetition_scores_aggregates_partially(spark):
-    # the doc+kind+gram count (the token-proportional first shuffle)
-    # must map-side combine, or the shuffle ships one row per token
+def test_repetition_scores_is_zero_shuffle_kernel(spark):
+    # per-doc signals must not pay a corpus exchange: scan → pandas
+    # kernel projection only (r4 "What's wrong" 4)
     plan = _plan(Q.q_repetition_scores(spark, SF))
-    assert "partial_count" in plan
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_repetition_relational_aggregates_partially(spark):
+    # the A/B reference form keeps its map-side combine pin
+    from barks_ocr_spark.operators import textstats
+    from barks_ocr_spark.plans.queries import load
+
+    df = textstats.repetition_scores_relational(load(spark, SF, "documents"))
+    assert "partial_count" in _plan(df)
 
 
 def test_pii_redact_is_pure_projection(spark):
