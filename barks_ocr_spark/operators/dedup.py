@@ -416,35 +416,49 @@ def remove_repeated_chunks(
     n_chunks, n_removed); a doc whose every chunk was boilerplate stays
     in the output with empty text (removal must not silently drop rows).
 
-    Scale shape: explode → hash aggregate on the chunk text
+    Scale shape: explode → hash aggregate keyed on ``xxhash64(chunk)``
     (countDistinct doc_id, map-side partial) → anti-join chunks against
-    the repeated set → per-doc reassemble via collect_list of
+    the repeated hash set → per-doc reassemble via collect_list of
     (pos, chunk) structs + array_sort (deterministic order without a
-    per-doc window sort). The chunk-keyed aggregate and join are the
-    token-proportional shuffles; the repeated-chunk set is typically
+    per-doc window sort). Keying the count aggregate and the anti-join
+    on the 8-byte hash instead of the chunk TEXT shrinks the
+    corpus-proportional shuffle ~20-50× (most chunks are unique, so
+    map-side combine barely reduces a text-keyed exchange); chunk text
+    rides only the doc_id-keyed reassembly shuffle, which genuinely
+    needs it. A 64-bit collision could merge two distinct chunks'
+    doc-counts (false-positive removal) at ~n²/2⁶⁴ odds — negligible
+    against the boilerplate threshold, and the DuckDB oracle (which
+    keys on text) agrees at test scale. The repeated set is typically
     tiny (true boilerplate) so AQE picks a broadcast for the anti-join
     at runtime — but correctness never depends on it fitting in memory.
+    ``n_chunks`` comes from a pure projection on the input (not from
+    the exploded rows), so a doc whose text yields zero chunks
+    (empty / whitespace-only / delimiter-only) still emits
+    (doc_id, '', 0, 0) instead of vanishing.
     Reassembly note: the joiner re-canonicalizes delimiters (split
     drops them), so ``text_clean`` equality is up to delimiter
     whitespace — documented, and replayed identically by the oracle.
     """
-    chunks = docs.select(
+    with_chunks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.filter(
-                F.split(F.col(text_col), delim_re),
-                lambda c: F.trim(c) != "",
-            )
-        ).alias("pos", "chunk"),
+        F.filter(
+            F.split(F.col(text_col), delim_re),
+            lambda c: F.trim(c) != "",
+        ).alias("_chunks"),
     )
+    totals = with_chunks.select(
+        "doc_id", F.size("_chunks").alias("n_chunks")
+    )
+    chunks = with_chunks.select(
+        "doc_id", F.posexplode("_chunks").alias("pos", "chunk")
+    ).withColumn("_ck", F.xxhash64("chunk"))
     repeated = (
-        chunks.groupBy("chunk")
+        chunks.groupBy("_ck")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("chunk")
+        .select("_ck")
     )
-    kept = chunks.join(repeated, "chunk", "left_anti")
-    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    kept = chunks.join(repeated, "_ck", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             joiner,

@@ -2775,7 +2775,8 @@ WITH planted AS (
 ), kept AS (
   SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM rep)
 ), tot AS (
-  SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id
+  -- from ch0, not the exploded rows: chunkless docs keep their row
+  SELECT doc_id, len(chunks) AS n_chunks FROM ch0
 ), reb AS (
   SELECT doc_id, string_agg(chunk, '. ' ORDER BY pos) AS text_clean,
     COUNT(*) AS n_kept

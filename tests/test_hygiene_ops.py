@@ -212,3 +212,19 @@ def test_repetition_kernel_matches_relational(spark):
         map(tuple, textstats.repetition_scores_relational(docs).collect())
     )
     assert a == b
+
+
+def test_chunk_dedup_chunkless_docs_emit_zero_rows_not_vanish(spark):
+    # empty, whitespace-only, and delimiter-only texts yield zero
+    # chunks; the doc must still appear as (doc_id, '', 0, 0)
+    from barks_ocr_spark.operators import dedup as dd
+
+    docs = _docs(
+        spark,
+        [(1, ""), (2, "   "), (3, ".  .  . "), (4, "real body here")],
+    )
+    out = {r["doc_id"]: r for r in dd.remove_repeated_chunks(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for i in (1, 2, 3):
+        assert (out[i]["text_clean"], out[i]["n_chunks"], out[i]["n_removed"]) == ("", 0, 0)
+    assert out[4]["n_chunks"] == 1 and out[4]["text_clean"] == "real body here"

@@ -131,3 +131,18 @@ def test_budget_sample_never_sorts_a_whole_group_in_one_task(spark):
         assert "_bk" in w, f"exact window not bucket-partitioned: {w}"
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_chunk_dedup_counts_on_hash_not_text(spark):
+    # the repeated-chunk count aggregate and anti-join must key on
+    # xxhash64(chunk) (8 bytes), never raw chunk text — keying on text
+    # ships every sentence through the corpus-proportional shuffle
+    plan = _plan(Q.q_chunk_dedup(spark, SF))
+    assert "xxhash64" in plan
+    assert "HashAggregate(keys=[chunk" not in plan
+    # chunk text may ride only the doc_id-keyed reassembly aggregate
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")", 1)[0]
+        if keys.startswith("_ck"):
+            agg_above = plan.split("Exchange hashpartitioning(" + keys)[0]
+            assert "partial_collect_list" not in agg_above.rsplit("\n", 2)[-1]
