@@ -233,29 +233,54 @@ def repetition_scores_relational(
 
 
 # PII patterns: intentionally the same safe regex subset in Java (Spark)
-# and RE2 (DuckDB oracle) — char classes, bounded repeats, \b only.
+# and RE2 (DuckDB oracle) — char classes, bounded repeats, \b, and
+# first-alternative-wins alternation only (both engines are
+# leftmost-first), no lookaround, no backrefs.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\b555-\d{4}\b"
+# US-style phones: 3-3-4 with -/./space separators, (NPA) prefix form,
+# plus the bare 555-XXXX exchange form. The 3-3-4 alternative comes
+# first so "555-123-4567" is consumed whole, never as an inner
+# "555-1234" exchange match.
+PHONE_RE = (
+    r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+    r"|\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}"
+    r"|\b555-\d{4}\b"
+)
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+# dotted quad; deliberately loose (no 0-255 range check — version
+# strings like 1.2.3.4 over-flag, the usual scrub tradeoff)
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_STAGES = [
+    ("n_emails", EMAIL_RE, "[EMAIL]"),
+    ("n_phones", PHONE_RE, "[PHONE]"),
+    ("n_ssn", SSN_RE, "[SSN]"),
+    ("n_ipv4", IPV4_RE, "[IP]"),
+]
 
 
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact emails/phones in place and count them — the standard
-    pretraining PII scrub. Pure projection (regexp_replace +
-    regexp_extract_all inside codegen): zero shuffle at any scale."""
-    text = F.col(text_col)
-    red = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
-    )
-    return docs.select(
-        "doc_id",
-        red.alias("text_redacted"),
-        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
-        .cast("long")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
-        .cast("long")
-        .alias("n_phones"),
-    )
+    """Redact emails, phone numbers, SSN-shaped tokens, and IPv4
+    addresses in place, with a per-type count — the standard
+    pretraining PII scrub. Stages apply in a fixed order (email →
+    phone → SSN → IPv4: the most-specific shapes first, so an email's
+    digits are gone before the looser numeric patterns run), and each
+    type's count is taken on ITS stage input, i.e. it equals the number
+    of tokens that stage actually redacted.
+
+    Pure projection (regexp_replace + regexp_extract_all inside
+    codegen, common subtrees shared by codegen subexpression
+    elimination): zero shuffle at any scale."""
+    stage_in = F.col(text_col)
+    counts = []
+    for count_name, pat, token in _PII_STAGES:
+        counts.append(
+            F.size(F.regexp_extract_all(stage_in, F.lit(pat), 0))
+            .cast("long")
+            .alias(count_name)
+        )
+        stage_in = F.regexp_replace(stage_in, pat, token)
+    return docs.select("doc_id", stage_in.alias("text_redacted"), *counts)
 
 
 def canonical_text(text: Column) -> Column:

@@ -2660,8 +2660,9 @@ FROM k GROUP BY doc_id
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a deterministically planted corpus (the raw corpus
-    contains no emails/phones — both engines apply the identical plant,
-    then redact + count)."""
+    contains no PII — both engines apply the identical plant, then
+    redact + count per type: email, phone in three formats, SSN-shaped
+    token, IPv4)."""
     from barks_ocr_spark.operators import textstats as ts
 
     docs = load(spark, sf_dir, "documents").select(
@@ -2679,28 +2680,66 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0199")).otherwise(
                 F.lit("")
             ),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" phone (202) 555-0147")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit(" or 555.867.5309 works")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0, F.lit(" ssn 123-45-6789")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 23 == 0, F.lit(" from 192.168.1.77")
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
     return ts.pii_redact(docs)
 
 
-_SQL_PII_REDACT = """
+def _pii_oracle_sql() -> str:
+    """Build the oracle from the operator's own pattern table, so the
+    Spark patterns and the RE2 oracle can never drift."""
+    from barks_ocr_spark.operators.textstats import _PII_STAGES
+
+    stages = []
+    prev = "text"
+    selects = []
+    for i, (count_name, pat, token) in enumerate(_PII_STAGES):
+        cur = f"t{i + 1}"
+        stages.append(
+            f"SELECT *, regexp_replace({prev}, '{pat}', '{token}', 'g')"
+            f" AS {cur} FROM "
+        )
+        selects.append(
+            f"CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT)"
+            f" AS {count_name}"
+        )
+        prev = cur
+    ctes = ",\n".join(
+        f"s{i} AS ({sql}{'planted' if i == 0 else f's{i - 1}'})"
+        for i, sql in enumerate(stages)
+    )
+    return f"""
 WITH planted AS (
   SELECT doc_id, text
     || CASE WHEN doc_id % 7 = 0
          THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
          ELSE '' END
-    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END AS text
-  FROM documents)
-SELECT doc_id,
-  regexp_replace(regexp_replace(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-    '\\b555-\\d{4}\\b', '[PHONE]', 'g') AS text_redacted,
-  CAST(len(regexp_extract_all(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '\\b555-\\d{4}\\b')) AS BIGINT) AS n_phones
-FROM planted
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' phone (202) 555-0147' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' or 555.867.5309 works' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN ' from 192.168.1.77' ELSE '' END AS text
+  FROM documents),
+{ctes}
+SELECT doc_id, {prev} AS text_redacted,
+  {', '.join(selects)}
+FROM s{len(stages) - 1}
 """
+
+
+_SQL_PII_REDACT = _pii_oracle_sql()
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

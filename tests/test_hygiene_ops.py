@@ -228,3 +228,35 @@ def test_chunk_dedup_chunkless_docs_emit_zero_rows_not_vanish(spark):
     for i in (1, 2, 3):
         assert (out[i]["text_clean"], out[i]["n_chunks"], out[i]["n_removed"]) == ("", 0, 0)
     assert out[4]["n_chunks"] == 1 and out[4]["text_clean"] == "real body here"
+
+
+def test_pii_redact_type_family(spark):
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk now"),
+        (2, "call 555-123-4567 or (202) 555-0147 or 555.867.5309 or 555-0199"),
+        (3, "ssn 123-45-6789 stays distinct from phones"),
+        (4, "host 10.0.0.1 and version 1.2.3.4 both flag"),
+        (5, "clean text with numbers 12345 and date 2024-01-02"),
+    ]
+    out = {r["doc_id"]: r for r in textstats.pii_redact(_docs(spark, rows)).collect()}
+    assert out[1]["n_emails"] == 1 and "[EMAIL]" in out[1]["text_redacted"]
+    # the 10-digit phone must be consumed whole, not double-counted as
+    # an inner 555-XXXX exchange match
+    assert out[2]["n_phones"] == 4
+    assert out[2]["text_redacted"] == "call [PHONE] or [PHONE] or [PHONE] or [PHONE]"
+    assert out[3]["n_ssn"] == 1 and out[3]["n_phones"] == 0
+    assert "[SSN]" in out[3]["text_redacted"]
+    assert out[4]["n_ipv4"] == 2  # loose quad: version strings over-flag by design
+    assert out[5]["text_redacted"] == rows[4][1]
+    assert all(
+        out[5][c] == 0 for c in ("n_emails", "n_phones", "n_ssn", "n_ipv4")
+    )
+
+
+def test_pii_counts_are_per_stage(spark):
+    # an email whose local part looks like a phone is redacted as ONE
+    # email; the phone stage sees no digits left
+    rows = [(1, "reach 555-123-4567@example.com today")]
+    out = textstats.pii_redact(_docs(spark, rows)).collect()[0]
+    assert out["n_emails"] == 1 and out["n_phones"] == 0
+    assert out["text_redacted"] == "reach [EMAIL] today"
