@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from barks_ocr_spark.operators.textstats import canonical_text
 
-DEFAULT_NGRAM = 5
+# The low end of the standard 8-to-13-gram collision window the module
+# docstring cites; pass a smaller n explicitly for tiny-vocabulary test
+# corpora (the registry query uses n=3 for exactly that reason — see
+# plans/queries.q_contamination).
+DEFAULT_NGRAM = 8
 
 
 def word_ngrams(text: Column, n: int = DEFAULT_NGRAM) -> Column:
@@ -102,3 +106,30 @@ def contamination(
             ),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """End-to-end decontamination: drop every corpus document with at
+    least ``min_hits`` eval-set n-gram collisions, returning the
+    surviving rows with their full schema — the removal counterpart of
+    :func:`contamination` (which only flags), mirroring how
+    ``dedup_corpus`` turns pair-finding into a survivor list.
+
+    Plan: flag (broadcast semi-join against eval grams, see
+    `contamination`) → distinct flagged doc_ids → broadcast LEFT ANTI
+    against the corpus. The flagged list is bounded by the eval set's
+    reach (tiny vs the corpus), so the fat side never reshuffles — at
+    100 TB this is one corpus scan for flagging and one for the
+    anti-join, both exchange-free on the corpus side."""
+    flagged = (
+        contamination(corpus, eval_docs, n, text_col)
+        .filter(F.col("n_contaminated") >= min_hits)
+        .select("doc_id")
+    )
+    return corpus.join(F.broadcast(flagged), "doc_id", "left_anti")

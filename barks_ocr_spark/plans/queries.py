@@ -2776,6 +2776,39 @@ GROUP BY doc_id, n_grams
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end eval-set decontamination: the %97 split of
+    q_contamination, but returning the SURVIVING corpus rows (full
+    documents schema) after removing every doc with ≥1 trigram
+    collision — flag → broadcast anti-join, the dedup_corpus shape."""
+    from barks_ocr_spark.operators import decontam
+
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.decontaminate(corpus, eval_docs, n=3)
+
+
+_SQL_DECONTAMINATE = f"""
+WITH canon AS (
+  SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+    for i in generate_series(1, greatest(len(ws)-2, 0))]) AS grams
+  FROM canon
+), eg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), flagged AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+  JOIN eg USING (gram)
+)
+SELECT d.* FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
 _BOILER = "all rights reserved contact the archive team for takedown requests"
 
 
@@ -2890,6 +2923,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "repetition_scores": (q_repetition_scores, _SQL_REPETITION),
     "pii_redact": (q_pii_redact, _SQL_PII_REDACT),
     "contamination": (q_contamination, _SQL_CONTAMINATION),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),

@@ -260,3 +260,32 @@ def test_pii_counts_are_per_stage(spark):
     out = textstats.pii_redact(_docs(spark, rows)).collect()[0]
     assert out["n_emails"] == 1 and out["n_phones"] == 0
     assert out["text_redacted"] == "reach [EMAIL] today"
+
+
+def test_decontaminate_removes_only_colliding_docs(spark):
+    eval_docs = _docs(spark, [(100, "the secret eval answer is forty two")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "contains the secret eval answer is forty two verbatim"),
+            (2, "totally unrelated clean document body"),
+            (3, "another clean one with no overlap at all"),
+        ],
+    )
+    out = decontam.decontaminate(corpus, eval_docs, n=5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    # survivors keep the full input schema
+    assert out.columns == corpus.columns
+
+
+def test_decontaminate_anti_join_is_broadcast(spark):
+    eval_docs = _docs(spark, [(100, "a b c d e f g h")])
+    corpus = _docs(spark, [(1, "x y z"), (2, "a b c d e f g h i")])
+    plan = (
+        decontam.decontaminate(corpus, eval_docs, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
