@@ -107,6 +107,15 @@ def rollup_refresh(
     deletion) gets its stale chunk directory deleted explicitly, so the
     read-back always equals the defining query over the refreshed days
     (pinned by test_refresh_clears_vanished_chunk)."""
+    # The refresh collects per-day results driver-side; the request list
+    # bounds that collect, so reject absurd lists instead of OOMing the
+    # driver (a full-history rebuild should write the rollup wholesale,
+    # not enumerate every day through the incremental path).
+    if len(days) > 10_000:
+        raise ValueError(
+            f"rollup_refresh got {len(days)} days; incremental refresh is "
+            "bounded at 10000 — rebuild the rollup wholesale instead"
+        )
     spark = events.sparkSession
     changed = events.filter(day_range_filter([str(d) for d in days]))
     rolled = hourly_rollup(changed)

@@ -42,6 +42,8 @@ HEADLINE = [
     "repetition_scores",
     "chunk_dedup",
     "contamination",
+    "decontaminate",
+    "budget_sample",
 ]
 
 
@@ -84,6 +86,7 @@ def run_headline() -> None:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     spark.stop()
+    host_norm = _host_norm()
     print(
         json.dumps(
             {
@@ -92,10 +95,46 @@ def run_headline() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-                "host_norm": _host_norm(),
+                "host_norm": host_norm,
+                "corrected_vs_prev": _corrected_vs_prev(timings, host_norm),
             }
         )
     )
+
+
+def _corrected_vs_prev(timings: dict[str, float], host_norm: dict) -> dict:
+    """Host-corrected per-query ratio vs the newest BENCH_r*.json
+    (README §"Host-drift correction"): ratio = (t_new / t_old) ×
+    (norm_new / norm_old). ~1.0 ⇒ host drift, not a code change; the
+    driver's per-round JSON thus carries its own cross-round
+    adjudication instead of needing a judge rerun."""
+    prev_files = sorted(REPO.glob("BENCH_r*.json"))
+    if not prev_files or "kernel_docs_per_sec" not in host_norm:
+        return {"status": "no-prior-round-or-no-norm"}
+    prev_path = prev_files[-1]
+    try:
+        raw = json.loads(prev_path.read_text())
+        prev = raw.get("parsed", raw)  # driver wraps the JSON line
+        prev_q = prev["queries"]
+        prev_norm = prev["host_norm"]["kernel_docs_per_sec"]
+    except (KeyError, TypeError, ValueError) as e:
+        return {"status": f"prior-unreadable: {e}", "prev": prev_path.name}
+    scale = host_norm["kernel_docs_per_sec"] / prev_norm
+    ratios = {
+        q: round((t / prev_q[q]) * scale, 3)
+        for q, t in timings.items()
+        if q in prev_q and prev_q[q] > 0
+    }
+    common_new = sum(t for q, t in timings.items() if q in ratios)
+    common_old = sum(prev_q[q] for q in ratios)
+    return {
+        "prev": prev_path.name,
+        "norm_ratio": round(scale, 4),
+        "common_total_corrected_ratio": (
+            round((common_new / common_old) * scale, 3) if common_old else None
+        ),
+        "queries": ratios,
+    }
 
 
 def _host_norm() -> dict:

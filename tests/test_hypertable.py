@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 import pandas as pd
 
 from barks_ocr_spark.operators import hypertable
@@ -112,3 +114,12 @@ def test_refresh_is_idempotent(spark, tmp_path):
     hypertable.rollup_refresh(ev, path, ["2024-01-01", "2024-01-02"])
     again = sorted(map(tuple, hypertable.rollup_read(spark, path).collect()))
     assert full == again
+
+
+def test_refresh_rejects_absurd_day_list(spark, tmp_path):
+    with pytest.raises(ValueError, match="bounded at 10000"):
+        hypertable.rollup_refresh(
+            spark.range(1).toDF("x"),
+            str(tmp_path / "roll"),
+            [f"d{i}" for i in range(10_001)],
+        )
