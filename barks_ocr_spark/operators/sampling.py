@@ -26,18 +26,55 @@ def _rank_key(id_col: str) -> Column:
 
 
 def cap_per_group(
-    df: DataFrame, group_col: str, cap: int, id_col: str = "doc_id"
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen pseudo-randomly but
     deterministically (md5-ranked) — the classic per-domain/per-source
     document cap that stops one crawl domain from dominating a training
     mix. Ties are impossible (md5 of distinct ids collides ~never; the
-    id itself is the final tie-break)."""
-    w = Window.partitionBy(group_col).orderBy(_rank_key(id_col), F.col(id_col))
+    id itself is the final tie-break).
+
+    Scale shape: the same two-phase boundary refinement as
+    ``budget_sample`` (a plain ``row_number().over(partitionBy(group))``
+    funnels an entire domain through ONE task's sort — the r4
+    scale-killer shape). Buckets = first ``bucket_chars`` md5 hex chars,
+    whose lexicographic order prefixes the full md5 order, so the
+    global rank decomposes into (rows in earlier buckets) + (rank
+    inside the bucket): per-(group, bucket) row counts (parallel,
+    map-side combined) → exclusive prefix-sum over the tiny bucket
+    table → prune buckets whose base offset is already ≥ cap → exact
+    row_number only per (group, bucket), input ~cap-proportional.
+    Selection is byte-identical to the single-window formulation."""
+    bucketed = df.withColumn(
+        "_rk", _rank_key(id_col)
+    ).withColumn("_bk", F.substring("_rk", 1, bucket_chars))
+    counts = bucketed.groupBy(group_col, "_bk").agg(
+        F.count("*").alias("_bk_rows")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.select(
+        group_col,
+        "_bk",
+        F.coalesce(F.sum("_bk_rows").over(wb), F.lit(0)).alias("_bk_base"),
+    )
+    live = bases.filter(F.col("_bk_base") < cap)
+    pruned = bucketed.join(F.broadcast(live), [group_col, "_bk"], "inner")
+    w = (
+        Window.partitionBy(group_col, "_bk")
+        .orderBy("_rk", F.col(id_col))
+    )
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cap)
-        .drop("_rk")
+        pruned.withColumn("_rn", F.col("_bk_base") + F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rk", "_bk", "_bk_base", "_rn")
     )
 
 

@@ -146,3 +146,15 @@ def test_chunk_dedup_counts_on_hash_not_text(spark):
         if keys.startswith("_ck"):
             agg_above = plan.split("Exchange hashpartitioning(" + keys)[0]
             assert "partial_collect_list" not in agg_above.rsplit("\n", 2)[-1]
+
+
+def test_domain_cap_never_sorts_a_whole_group_in_one_task(spark):
+    # same two-phase contract as budget_sample: the exact row_number
+    # window must partition on (group, md5-bucket), never group alone
+    plan = _plan(Q.q_domain_cap(spark, SF))
+    windows = [seg.split("\n", 1)[0] for seg in plan.split("Window [")[1:]]
+    exact = [w for w in windows if "row_number" in w]
+    assert exact, "row_number window missing from plan"
+    for w in exact:
+        assert "_bk" in w, f"rank window not bucket-partitioned: {w}"
+    assert "BroadcastHashJoin" in plan
