@@ -71,9 +71,18 @@ def cap_per_group(
         Window.partitionBy(group_col, "_bk")
         .orderBy("_rk", F.col(id_col))
     )
+    # The in-bucket rank filter is written as its own conjunct so
+    # InferWindowGroupLimit turns it into a Partial/Final
+    # WindowGroupLimit: map tasks pre-trim to ``cap`` rows per (group,
+    # bucket) BEFORE the shuffle, so even the boundary bucket's sort is
+    # cap-bounded, not bucket-sized. (base ≥ 0, so rn ≤ cap is implied
+    # by the exact keep condition and never changes the selection.)
     return (
-        pruned.withColumn("_rn", F.col("_bk_base") + F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") <= cap)
+            & (F.col("_bk_base") + F.col("_rn") <= cap)
+        )
         .drop("_rk", "_bk", "_bk_base", "_rn")
     )
 

@@ -158,3 +158,16 @@ def test_domain_cap_never_sorts_a_whole_group_in_one_task(spark):
     for w in exact:
         assert "_bk" in w, f"rank window not bucket-partitioned: {w}"
     assert "BroadcastHashJoin" in plan
+    # and the rank filter must reach InferWindowGroupLimit: map tasks
+    # pre-trim to cap rows per (group, bucket) before the shuffle, so
+    # even the boundary bucket's reduce sort is cap-bounded
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_per_group_topk_queries_pretrim_map_side(spark):
+    # O3 per-partition limits: the rank filter must compile to a
+    # Partial+Final WindowGroupLimit, so each map task emits at most k
+    # rows per group into the shuffle instead of the whole group
+    for q in (Q.q_top3_customers_per_nation, Q.q_top_users_per_event_type):
+        plan = _plan(q(spark, SF))
+        assert "WindowGroupLimit" in plan and "Partial" in plan, q.__name__
