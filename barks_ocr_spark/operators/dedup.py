@@ -22,6 +22,7 @@ Scale notes (the whole point of each design):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -357,18 +358,102 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_signatures_kernel(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Zero-shuffle SimHash signatures: the per-batch numpy kernel form
+    of :func:`simhash_signatures`. A signature is a pure function of one
+    document, so the relational form's two exchanges (token collapse +
+    64-vote aggregate) pay a corpus-proportional shuffle for a per-doc
+    computation — the same critique, and the same fix, as
+    repetition_scores. Here each Arrow batch canonicalizes + tokenizes
+    in Python, hashes every token occurrence in one vectorized C call
+    (``pandas.util.hash_array``, SipHash with a fixed key — process- and
+    run-stable), and folds the ±1 bit votes per doc in numpy.
+
+    Same contract as the relational form: docs with zero tokens after
+    canonicalization yield NO signature row; identical text ⇒ identical
+    signature; near text ⇒ near signature. Signature VALUES differ from
+    the relational form (xxhash64 vs SipHash token hashing — documented,
+    both deterministic); everything downstream is hash-agnostic.
+
+    Measured at sf0.1 / local[32], best-of-2: signatures 1.94 s
+    (relational) → 0.50 s (kernel); full near-dup pair query 3.54 s →
+    2.00 s. The gap is the eliminated token-collapse + 64-vote
+    exchanges, so it grows with corpus size.
+    """
+    kernel = F.pandas_udf(_simhash_batch, "long")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select("doc_id", kernel(F.col(text_col)).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+    )
+
+
+def _simhash_batch(texts):  # type: (pd.Series) -> pd.Series
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    non_alnum = re.compile(r"[^a-z0-9\s]")
+    ws = re.compile(r"\s+")
+    token_lists = []
+    flat: list[str] = []
+    for t in texts:
+        s = ws.sub(" ", non_alnum.sub("", str(t).lower())).strip()
+        toks = s.split(" ") if s else []
+        token_lists.append((len(flat), len(toks)))
+        flat.extend(toks)
+    out = np.empty(len(token_lists), dtype=object)
+    if flat:
+        h = pd.util.hash_array(np.asarray(flat, dtype=object))
+        # ±1 votes per bit; int8 keeps the batch matrix small
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int8)
+        votes = bits * 2 - 1
+        masks = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        for i, (start, n) in enumerate(token_lists):
+            if n == 0:
+                out[i] = None
+                continue
+            v = votes[start : start + n].sum(axis=0, dtype=np.int64)
+            sig = int(masks[v > 0].sum(dtype=np.uint64))
+            # two's-complement wrap into the signed long Spark stores
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    else:
+        out[:] = None
+    return pd.Series(out)
+
+
+# The kernel needs a real type hint for pandas_udf inference; assign it
+# here so the function body above stays readable.
+_simhash_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+
+
 def simhash_near_duplicates(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
     Bucketing: split the 64-bit sig into (max_hamming+1) segments — by
     pigeonhole, any pair within budget agrees exactly on ≥1 segment, so
     the self-join runs on (segment_id, segment_value) buckets only.
+
+    ``use_kernel`` picks the zero-shuffle signature kernel (default);
+    pass False for the relational xxhash64 form (signature values
+    differ between the two, pair semantics do not).
     """
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
-    sigs = _persist(simhash_signatures(docs, text_col))
+    sig_fn = simhash_signatures_kernel if use_kernel else simhash_signatures
+    sigs = _persist(sig_fn(docs, text_col))
     sigs.count()
     seg_structs = [
         F.struct(

@@ -205,3 +205,24 @@ def test_sign_bits_py_matches_column_form(spark):
     ).collect()
     for r in rows:
         assert simsearch.sign_bits_py(list(r["v"]), 16, 4) == r["sig"]
+
+
+def test_simhash_kernel_and_relational_agree_on_pairs(spark):
+    # signature VALUES differ (SipHash vs xxhash64) but the pair
+    # semantics must not: identical docs collide at hamming 0 in both
+    docs = _corpus(spark)
+    for use_kernel in (True, False):
+        out = dedup.simhash_near_duplicates(
+            docs, max_hamming=3, use_kernel=use_kernel
+        ).collect()
+        ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+        assert ham[(1, 2)] == 0, f"use_kernel={use_kernel}"
+
+
+def test_simhash_kernel_contract_matches_relational(spark):
+    # empty / whitespace / null docs yield no signature row in either form
+    rows = [(1, ""), (2, "   "), (3, None), (4, "actual words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (dedup.simhash_signatures_kernel, dedup.simhash_signatures):
+        got = sorted(r["doc_id"] for r in fn(docs).collect())
+        assert got == [4], fn.__name__

@@ -171,3 +171,12 @@ def test_per_group_topk_queries_pretrim_map_side(spark):
     for q in (Q.q_top3_customers_per_nation, Q.q_top_users_per_event_type):
         plan = _plan(q(spark, SF))
         assert "WindowGroupLimit" in plan and "Partial" in plan, q.__name__
+
+
+def test_simhash_kernel_signatures_are_zero_shuffle(spark):
+    from barks_ocr_spark.operators import dedup
+
+    docs = Q.load(spark, SF, "documents")
+    plan = _plan(dedup.simhash_signatures_kernel(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
