@@ -275,3 +275,47 @@ def test_stream_sessionize_state_carries_across_batches(spark, tmp_path):
     }
     # only u1's first session closed: 3 events (100..102) across batches
     assert got == {(1, 1): (3, 100, 102)}
+
+
+def test_hygiene_projections_compose_with_streaming(spark, tmp_path):
+    # the hygiene tier's stateless projections (PII scrub, lang-id,
+    # repetition kernel) must run UNCHANGED on a readStream — the same
+    # DataFrame expressions, a streaming source, no code fork
+    from barks_ocr_spark.operators import textstats
+
+    in_dir = str(tmp_path / "docs")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at who@example.com now",
+                "the and of to in a is it plain english text",
+                "x x x x x x x x",
+            ],
+        }
+    )
+    spark.createDataFrame(rows).repartition(2).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    for qname, op in (
+        ("piistream", textstats.pii_redact),
+        ("repstream", textstats.repetition_scores),
+    ):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ("ckpt_" + qname)))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    pii = {r["doc_id"]: r for r in spark.sql("select * from piistream").collect()}
+    rep = {r["doc_id"]: r for r in spark.sql("select * from repstream").collect()}
+    assert pii[1]["n_emails"] == 1 and "[EMAIL]" in pii[1]["text_redacted"]
+    assert pii[2]["n_emails"] == 0
+    assert rep[3]["top_unigram_frac"] == 1.0
