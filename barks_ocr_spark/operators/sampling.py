@@ -239,3 +239,35 @@ def budget_sample(
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )
+
+
+def rate_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-group deterministic rate sampling — the mixture-weights /
+    temperature-sampling step of a training mix: keep each row of group
+    g independently with probability ``rates[g]`` (``default_rate`` for
+    unlisted groups), decided by the row's md5 rank key so the selection
+    is a pure projection: zero shuffle, stable across runs, retries,
+    partitionings, and engines (same 4-hex-digit threshold scheme as
+    ``split_train_test``, granularity 1/65536; rates ≥ 1 keep
+    everything, ≤ 0 keep nothing).
+
+    Scale shape: the rate table is a literal CASE chain (mixtures have
+    tens of sources, not millions — for a huge rate table broadcast-join
+    a rates DataFrame instead), so the whole operator is a filter the
+    scan can evaluate inline."""
+    def threshold(rate: float) -> str:
+        return format(min(max(int(rate * 65536), 0), 65536), "05x")
+
+    rate_expr = F.lit(threshold(default_rate))
+    for g, r in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(group_col) == g, F.lit(threshold(r))
+        ).otherwise(rate_expr)
+    key = F.lpad(F.substring(_rank_key(id_col), 1, 4), 5, "0")
+    return df.filter(key < rate_expr)

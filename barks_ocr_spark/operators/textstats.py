@@ -299,3 +299,87 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(canonical_text(F.col(text_col))).alias("fp"),
     )
+
+
+# Gopher-style document-quality rule family (Rae et al. 2021 §A1.1,
+# adapted to this engine's signals). Each rule is (name, predicate);
+# thresholds are arguments so test corpora can pick a meaningful
+# operating point.
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.02,
+    max_punct_ratio: float = 0.2,
+    max_top_bigram_frac: float = 0.2,
+    max_dup_trigram_frac: float = 0.3,
+) -> DataFrame:
+    """Combined keep/drop quality gate: word-count bounds, mean word
+    length bounds, stopword floor, punctuation ceiling, and the two
+    repetition ceilings — the standard Gopher-rule pretraining filter,
+    with per-rule failure flags so the drop reasons are auditable.
+
+    Plan shape: ONE projection — the relational signals are JVM
+    expressions and the repetition signals come from the zero-shuffle
+    pandas kernel, combined per row with no join and no shuffle.
+    Output: (doc_id, n_words, keep, failed) where ``failed`` is the
+    comma-joined rule names in fixed order ('' when keep)."""
+    text = F.col(text_col)
+    words = words_col(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(_EN_MARKERS)))
+    mean_wlen = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(text, r"\s+", "")) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    kernel = F.pandas_udf(
+        _repetition_scores_batch,
+        "top_unigram_frac double, top_bigram_frac double,"
+        " dup_trigram_frac double",
+    )
+    staged = docs.filter(text.isNotNull()).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("_mwl"),
+        stop_ratio.alias("_sr"),
+        punct_ratio.alias("_pr"),
+        kernel(text).alias("_rep"),
+    )
+    rules = [
+        ("too_few_words", F.col("n_words") < min_words),
+        ("too_many_words", F.col("n_words") > max_words),
+        ("word_len_out_of_range",
+         (F.col("_mwl") < min_mean_word_len)
+         | (F.col("_mwl") > max_mean_word_len)),
+        ("too_few_stopwords", F.col("_sr") < min_stopword_ratio),
+        ("too_much_punct", F.col("_pr") > max_punct_ratio),
+        ("repeated_bigrams",
+         F.col("_rep.top_bigram_frac") > max_top_bigram_frac),
+        ("repeated_trigrams",
+         F.col("_rep.dup_trigram_frac") > max_dup_trigram_frac),
+    ]
+    failed = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (failed == "").alias("keep"),
+        failed.alias("failed"),
+    )

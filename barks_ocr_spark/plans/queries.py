@@ -2776,6 +2776,99 @@ GROUP BY doc_id, n_grams
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule combined quality gate with auditable per-rule failure
+    reasons. Thresholds picked so several rules actually fire on this
+    corpus (word counts run 10-99, mean word lengths 3.7-5.3)."""
+    return textstats.gopher_filter(
+        load(spark, sf_dir, "documents"),
+        min_words=30,
+        min_mean_word_len=4.0,
+    )
+
+
+_SQL_GOPHER_FILTER = f"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) > 0
+      THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(ws)
+      ELSE 0.0 END AS mwl,
+    CASE WHEN len(ws) > 0
+      THEN CAST(len(list_filter(ws, x -> x IN ({{EN}}))) AS DOUBLE) / len(ws)
+      ELSE 0.0 END AS sr,
+    CASE WHEN length(text) > 0
+      THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+      ELSE 0.0 END AS pr
+  FROM w
+), g AS (
+  SELECT doc_id, 'bi' AS kind, unnest([concat_ws(' ', ws[i], ws[i+1])
+    for i in generate_series(1, greatest(len(ws)-1, 0))]) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 'tri', unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+    for i in generate_series(1, greatest(len(ws)-2, 0))]) FROM w
+), c AS (
+  SELECT doc_id, kind, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, kind, gram
+), k AS (
+  SELECT doc_id, kind, MAX(cnt) AS top_cnt, SUM(cnt) AS total,
+    COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup_cnt
+  FROM c GROUP BY doc_id, kind
+), rep AS (
+  SELECT doc_id,
+    COALESCE(ROUND(CAST(MAX(top_cnt) FILTER (kind = 'bi') AS DOUBLE)
+      / MAX(total) FILTER (kind = 'bi'), 6), 0.0) AS top_bi,
+    COALESCE(ROUND(CAST(MAX(dup_cnt) FILTER (kind = 'tri') AS DOUBLE)
+      / MAX(total) FILTER (kind = 'tri'), 6), 0.0) AS dup_tri
+  FROM k GROUP BY doc_id
+), rules AS (
+  SELECT f.doc_id, f.n_words,
+    concat_ws(',',
+      CASE WHEN f.n_words < 30 THEN 'too_few_words' END,
+      CASE WHEN f.n_words > 100000 THEN 'too_many_words' END,
+      CASE WHEN f.mwl < 4.0 OR f.mwl > 10.0 THEN 'word_len_out_of_range' END,
+      CASE WHEN f.sr < 0.02 THEN 'too_few_stopwords' END,
+      CASE WHEN f.pr > 0.2 THEN 'too_much_punct' END,
+      CASE WHEN r.top_bi > 0.2 THEN 'repeated_bigrams' END,
+      CASE WHEN r.dup_tri > 0.3 THEN 'repeated_trigrams' END
+    ) AS failed
+  FROM feat f LEFT JOIN rep r USING (doc_id)
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  failed = '' AS keep, failed
+FROM rules
+""".replace("{EN}", _EN_LIST_SQL)
+
+
+_RATE_SAMPLE_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}
+
+
+def q_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture-rate sampling (deterministic md5 Bernoulli):
+    src0 dropped, src1 quartered, src2 halved, src3 and the default
+    kept whole."""
+    from barks_ocr_spark.operators import sampling
+
+    return sampling.rate_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        _RATE_SAMPLE_RATES,
+    )
+
+
+_SQL_RATE_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE lpad(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0') <
+  CASE source
+    WHEN 'src0' THEN '00000'
+    WHEN 'src1' THEN '04000'
+    WHEN 'src2' THEN '08000'
+    ELSE '10000' END
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end eval-set decontamination: the %97 split of
     q_contamination, but returning the SURVIVING corpus rows (full
@@ -2924,6 +3017,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pii_redact": (q_pii_redact, _SQL_PII_REDACT),
     "contamination": (q_contamination, _SQL_CONTAMINATION),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "gopher_filter": (q_gopher_filter, _SQL_GOPHER_FILTER),
+    "rate_sample": (q_rate_sample, _SQL_RATE_SAMPLE),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),

@@ -289,3 +289,35 @@ def test_decontaminate_anti_join_is_broadcast(spark):
     )
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_filter_rules_and_reasons(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then rests "
+            "under the old oak tree while watching clouds drift past the "
+            "quiet meadow in warm afternoon light today"),  # clean
+        (2, "short doc"),  # too_few_words
+        (3, " ".join(["spark"] * 40)),  # no stopwords + repeated grams
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textstats.gopher_filter(
+            _docs(spark, rows), min_words=20, min_stopword_ratio=0.05
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["failed"] == ""
+    assert not out[2]["keep"] and "too_few_words" in out[2]["failed"]
+    assert not out[3]["keep"]
+    assert "too_few_stopwords" in out[3]["failed"]
+    assert "repeated_bigrams" in out[3]["failed"]
+    assert "repeated_trigrams" in out[3]["failed"]
+
+
+def test_gopher_filter_is_zero_shuffle(spark):
+    plan = (
+        textstats.gopher_filter(_docs(spark, [(1, "a b c")]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -130,3 +130,30 @@ def test_budget_sample_invariant_to_bucketing_and_partitioning(spark):
         sampling.budget_sample(docs, "source", 50, bucket_chars=3),
     ):
         assert sorted(map(tuple, variant.collect())) == base
+
+
+def test_rate_sample_rates_and_determinism(spark):
+    rows = [(i, f"src{i % 4}") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 0.0, "src1": 0.25, "src2": 1.0}
+    out = sampling.rate_sample(docs, "source", rates)
+    got = out.groupBy("source").count().collect()
+    sizes = {r["source"]: r["count"] for r in got}
+    assert "src0" not in sizes                    # rate 0 drops all
+    assert sizes["src2"] == 500                   # rate 1 keeps all
+    assert sizes["src3"] == 500                   # default rate 1.0
+    assert 80 <= sizes["src1"] <= 170             # ~25% of 500
+    # deterministic across partitionings
+    again = sampling.rate_sample(docs.repartition(7), "source", rates)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_rate_sample_is_zero_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = (
+        sampling.rate_sample(docs, "source", {"a": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
