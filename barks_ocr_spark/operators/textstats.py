@@ -383,3 +383,34 @@ def gopher_filter(
         (failed == "").alias("keep"),
         failed.alias("failed"),
     )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source dataset-card rollup: doc count, distinct-content count
+    (exact-dup rate's numerator), whitespace + BPE-ish token totals, and
+    mean document word count — the summary table a training-mix design
+    reads before setting weights/budgets.
+
+    Plan shape: one hash aggregate keyed on the (low-cardinality) source
+    with map-side partial aggregation; the distinct-content count ships
+    a 16-byte md5 per doc, never text. Scales as a single
+    corpus-proportional-input, source-proportional-output pass."""
+    text = F.col(text_col)
+    return (
+        docs.select(
+            "source",
+            F.md5(canonical_text(text)).alias("_fp"),
+            F.size(words_col(text)).alias("_ws"),
+            F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).alias(
+                "_bpe"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_fp").alias("n_distinct"),
+            F.sum("_ws").cast("long").alias("ws_tokens"),
+            F.sum("_bpe").cast("long").alias("bpe_tokens"),
+            F.round(F.avg("_ws"), 6).alias("avg_words"),
+        )
+    )

@@ -2776,6 +2776,25 @@ GROUP BY doc_id, n_grams
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card rollup (doc/distinct/token totals)."""
+    return textstats.corpus_stats(load(spark, sf_dir, "documents"))
+
+
+_SQL_CORPUS_STATS = f"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5({{CANON}})) AS BIGINT) AS n_distinct,
+  CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+    AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+    AS BIGINT) AS bpe_tokens,
+  ROUND(AVG(len(string_split_regex(trim(lower(text)), '\\s+'))), 6)
+    AS avg_words
+FROM documents GROUP BY source
+""".replace("{CANON}", _CANON_SQL)
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule combined quality gate with auditable per-rule failure
     reasons. Thresholds picked so several rules actually fire on this
@@ -3019,6 +3038,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "gopher_filter": (q_gopher_filter, _SQL_GOPHER_FILTER),
     "rate_sample": (q_rate_sample, _SQL_RATE_SAMPLE),
+    "corpus_stats": (q_corpus_stats, _SQL_CORPUS_STATS),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),

@@ -321,3 +321,22 @@ def test_gopher_filter_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_corpus_stats_rollup(spark):
+    rows = [
+        (1, "a b c", "s1"),
+        (2, "a b c", "s1"),   # exact dup of 1 → distinct=2 in s1
+        (3, "d e", "s1"),
+        (4, "x y z w", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in textstats.corpus_stats(docs).collect()}
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_distinct"] == 2
+    assert out["s1"]["ws_tokens"] == 8
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["ws_tokens"] == 4
+    # map-side combine pinned: the aggregate must partial before shuffle
+    plan = (
+        textstats.corpus_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan or "partial_sum" in plan
