@@ -259,7 +259,11 @@ _PII_STAGES = [
 ]
 
 
-def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Redact emails, phone numbers, SSN-shaped tokens, and IPv4
     addresses in place, with a per-type count — the standard
     pretraining PII scrub. Stages apply in a fixed order (email →
@@ -270,7 +274,9 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Pure projection (regexp_replace + regexp_extract_all inside
     codegen, common subtrees shared by codegen subexpression
-    elimination): zero shuffle at any scale."""
+    elimination): zero shuffle at any scale. ``passthrough`` names
+    extra input columns to carry through unchanged (pipeline
+    composition without a join)."""
     stage_in = F.col(text_col)
     counts = []
     for count_name, pat, token in _PII_STAGES:
@@ -280,7 +286,9 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias(count_name)
         )
         stage_in = F.regexp_replace(stage_in, pat, token)
-    return docs.select("doc_id", stage_in.alias("text_redacted"), *counts)
+    return docs.select(
+        "doc_id", stage_in.alias("text_redacted"), *counts, *passthrough
+    )
 
 
 def canonical_text(text: Column) -> Column:
@@ -316,6 +324,7 @@ def gopher_filter(
     max_punct_ratio: float = 0.2,
     max_top_bigram_frac: float = 0.2,
     max_dup_trigram_frac: float = 0.3,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Combined keep/drop quality gate: word-count bounds, mean word
     length bounds, stopword floor, punctuation ceiling, and the two
@@ -326,7 +335,9 @@ def gopher_filter(
     expressions and the repetition signals come from the zero-shuffle
     pandas kernel, combined per row with no join and no shuffle.
     Output: (doc_id, n_words, keep, failed) where ``failed`` is the
-    comma-joined rule names in fixed order ('' when keep)."""
+    comma-joined rule names in fixed order ('' when keep);
+    ``passthrough`` appends named input columns unchanged so the gate
+    composes into pipelines without a join."""
     text = F.col(text_col)
     words = words_col(text)
     n_chars = F.length(text)
@@ -351,6 +362,7 @@ def gopher_filter(
         stop_ratio.alias("_sr"),
         punct_ratio.alias("_pr"),
         kernel(text).alias("_rep"),
+        *passthrough,
     )
     rules = [
         ("too_few_words", F.col("n_words") < min_words),
@@ -382,6 +394,7 @@ def gopher_filter(
         F.col("n_words").cast("long").alias("n_words"),
         (failed == "").alias("keep"),
         failed.alias("failed"),
+        *passthrough,
     )
 
 

@@ -2921,6 +2921,145 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in ONE declarative plan: Gopher
+    quality gate → PII scrub → eval-set decontamination → per-source
+    token-budget sampling, returning the final mix manifest
+    (doc_id, source, n_tokens, cum_tokens).
+
+    Plan shape: the gate and scrub are passthrough projections fused
+    into the scan (no joins between them); the decontamination flag
+    pass broadcast-semi-joins eval grams and anti-joins the tiny
+    flagged list; the budget stage is the two-phase bucket refinement.
+    At 100 TB you would checkpoint between the scrub and decontam
+    stages so the gated projection isn't recomputed by both decontam
+    scans — here the optimizer's plan reuse at sf scale is fine."""
+    from barks_ocr_spark.operators import decontam, sampling
+
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    gated = (
+        textstats.gopher_filter(
+            corpus,
+            min_words=30,
+            min_mean_word_len=4.0,
+            passthrough=("text", "source"),
+        )
+        .filter("keep")
+        .select("doc_id", "text", "source")
+    )
+    scrubbed = textstats.pii_redact(gated, passthrough=("source",)).select(
+        "doc_id", F.col("text_redacted").alias("text"), "source"
+    )
+    cleaned = decontam.decontaminate(scrubbed, eval_docs, n=3)
+    return sampling.budget_sample(cleaned, "source", 400)
+
+
+def _clean_corpus_oracle_sql() -> str:
+    """Stitch the stage oracles into one CTE chain, with the PII regex
+    stages generated from the operator's own pattern table."""
+    from barks_ocr_spark.operators.textstats import _PII_STAGES
+
+    prev = "text"
+    scrub = []
+    for i, (_, pat, token) in enumerate(_PII_STAGES):
+        cur = f"t{i + 1}"
+        src = "gated" if i == 0 else f"s{i - 1}"
+        scrub.append(
+            f"s{i} AS (SELECT doc_id, source,"
+            f" regexp_replace({prev}, '{pat}', '{token}', 'g') AS {cur}"
+            f" FROM {src})"
+        )
+        prev = cur
+    scrub_ctes = ",\n".join(scrub)
+    return f"""
+WITH corpus0 AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+), w AS (
+  SELECT doc_id, text, source,
+    string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM corpus0
+), feat AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) > 0
+      THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(ws)
+      ELSE 0.0 END AS mwl,
+    CASE WHEN len(ws) > 0
+      THEN CAST(len(list_filter(ws, x -> x IN ({_EN_LIST_SQL}))) AS DOUBLE) / len(ws)
+      ELSE 0.0 END AS sr,
+    CASE WHEN length(text) > 0
+      THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+      ELSE 0.0 END AS pr
+  FROM w
+), gq AS (
+  SELECT doc_id, 'bi' AS kind, unnest([concat_ws(' ', ws[i], ws[i+1])
+    for i in generate_series(1, greatest(len(ws)-1, 0))]) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 'tri', unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+    for i in generate_series(1, greatest(len(ws)-2, 0))]) FROM w
+), cq AS (
+  SELECT doc_id, kind, gram, COUNT(*) AS cnt FROM gq GROUP BY doc_id, kind, gram
+), kq AS (
+  SELECT doc_id, kind, MAX(cnt) AS top_cnt, SUM(cnt) AS total,
+    COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup_cnt
+  FROM cq GROUP BY doc_id, kind
+), rep AS (
+  SELECT doc_id,
+    COALESCE(ROUND(CAST(MAX(top_cnt) FILTER (kind = 'bi') AS DOUBLE)
+      / MAX(total) FILTER (kind = 'bi'), 6), 0.0) AS top_bi,
+    COALESCE(ROUND(CAST(MAX(dup_cnt) FILTER (kind = 'tri') AS DOUBLE)
+      / MAX(total) FILTER (kind = 'tri'), 6), 0.0) AS dup_tri
+  FROM kq GROUP BY doc_id
+), gated AS (
+  SELECT c.doc_id, c.text, c.source
+  FROM corpus0 c JOIN feat f USING (doc_id) LEFT JOIN rep r USING (doc_id)
+  WHERE f.n_words >= 30 AND f.n_words <= 100000
+    AND f.mwl >= 4.0 AND f.mwl <= 10.0
+    AND f.sr >= 0.02 AND f.pr <= 0.2
+    AND COALESCE(r.top_bi, 0.0) <= 0.2 AND COALESCE(r.dup_tri, 0.0) <= 0.3
+),
+{scrub_ctes},
+scrubbed AS (
+  SELECT doc_id, {prev} AS text, source FROM s{len(scrub) - 1}
+), canon AS (
+  SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws FROM scrubbed
+), dg AS (
+  SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+    for i in generate_series(1, greatest(len(ws)-2, 0))])) AS gram
+  FROM canon
+), ecanon AS (
+  SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws
+  FROM documents WHERE doc_id % 97 = 0
+), eg AS (
+  SELECT DISTINCT unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+    for i in generate_series(1, greatest(len(ws)-2, 0))])) AS gram
+  FROM ecanon
+), flagged AS (
+  SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram)
+), cleaned AS (
+  SELECT * FROM scrubbed WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+), sized AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM cleaned
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM sized
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(c AS BIGINT) AS cum_tokens
+FROM cum WHERE c - n_tokens < 400
+"""
+
+
+_SQL_CLEAN_CORPUS = _clean_corpus_oracle_sql()
+
+
 _BOILER = "all rights reserved contact the archive team for takedown requests"
 
 
@@ -3039,6 +3178,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "gopher_filter": (q_gopher_filter, _SQL_GOPHER_FILTER),
     "rate_sample": (q_rate_sample, _SQL_RATE_SAMPLE),
     "corpus_stats": (q_corpus_stats, _SQL_CORPUS_STATS),
+    "clean_corpus": (q_clean_corpus, _SQL_CLEAN_CORPUS),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),

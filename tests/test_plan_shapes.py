@@ -180,3 +180,14 @@ def test_simhash_kernel_signatures_are_zero_shuffle(spark):
     plan = _plan(dedup.simhash_signatures_kernel(docs))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_clean_corpus_pipeline_shape(spark):
+    # gate + scrub fuse into projections (no join between them), the
+    # decontam keep-list anti-joins broadcast, the budget stage windows
+    # per (group, bucket): the whole prep pipeline never SortMergeJoins
+    plan = _plan(Q.q_clean_corpus(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    windows = [seg.split("\n", 1)[0] for seg in plan.split("Window [")[1:]]
+    assert any("_rk" in w and "_bk" in w for w in windows)
