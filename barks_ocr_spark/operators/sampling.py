@@ -1,16 +1,19 @@
-"""Deterministic corpus sampling: per-group caps and train/test splits.
+"""Deterministic corpus sampling: per-group caps, token budgets,
+mixture rates, train/test splits, and sequence packing.
 
 Standard training-data-pipeline operators over the documents table.
-Both are DETERMINISTIC functions of the row key (md5-based), never
-``rand()``: a retried task, a re-run, or a different partitioning must
-produce the identical sample — the same exactly-once discipline as
+Every selection is a DETERMINISTIC function of the row key (md5-based),
+never ``rand()``: a retried task, a re-run, or a different partitioning
+must produce the identical sample — the same exactly-once discipline as
 operators/skew.fact_salt. md5 (not xxhash64) so any engine re-derives
 the identical ordering — the DuckDB oracles replay the exact selection,
 not just its size.
 
-Scale shape: cap_per_group is one window over a (group, rank-key)
-shuffle — no collect, no per-group loops; split_train_test is a pure
-per-row projection (zero shuffle).
+Scale shapes: split_train_test and rate_sample are pure per-row
+projections (zero shuffle); pack_documents windows per hash shard;
+cap_per_group and budget_sample use two-phase boundary refinement
+(bucketed windows — no single task ever sorts a whole group; see each
+docstring).
 """
 
 from __future__ import annotations

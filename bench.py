@@ -44,6 +44,8 @@ HEADLINE = [
     "contamination",
     "decontaminate",
     "budget_sample",
+    "gopher_filter",
+    "clean_corpus",
 ]
 
 
