@@ -51,8 +51,22 @@ def compare_one(spark, con, name: str, fn, oracle: str | None, sf_dir: str):
     """Run one registry query in Spark and its oracle in DuckDB.
 
     Returns (status, detail): status is 'match', 'rows-only' (no oracle
-    — the weaker check the driver also applies), or an error tag."""
+    — the weaker check the driver also applies), or an error tag.
+
+    Besides value equality, every query's PHYSICAL PLAN is screened for
+    the two unconditional scale red flags — CartesianProduct and
+    BroadcastNestedLoopJoin. No registry plan contains either; a new
+    operator that introduces one fails the sweep even if its rows are
+    right."""
     df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        w
+        for w in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        if w in plan
+    ]
+    if bad:
+        return "plan-flag", f"scale red flag in physical plan: {bad}"
     spark_cols = [c.lower() for c in df.columns]
     spark_rows = [tuple(r) for r in df.collect()]
     if oracle is None:
