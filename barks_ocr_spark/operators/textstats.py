@@ -427,3 +427,31 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.avg("_ws"), 6).alias("avg_words"),
         )
     )
+
+
+def normalize_unicode(
+    docs: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization (NFC by default) with a changed flag — the
+    step every pipeline runs BEFORE content hashing/dedup, since
+    'café' composed and 'cafe' + U+0301 are different byte strings with
+    identical rendering and must not land in different dedup groups.
+
+    Per-batch pandas kernel (Spark has no built-in normalizer), zero
+    shuffle; Python's unicodedata.normalize agrees byte-for-byte with
+    DuckDB's nfc_normalize, so the oracle is exact. Null text passes
+    through as null with changed=false."""
+    import unicodedata
+
+    def _norm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: t if t is None else unicodedata.normalize(form, t)
+        )
+
+    kernel = F.pandas_udf(_norm, "string")
+    normed = kernel(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        normed.alias("text_norm"),
+        F.coalesce(normed != F.col(text_col), F.lit(False)).alias("changed"),
+    )

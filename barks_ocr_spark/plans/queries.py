@@ -2795,6 +2795,33 @@ FROM documents GROUP BY source
 """.replace("{CANON}", _CANON_SQL)
 
 
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization over a deterministically planted corpus: every
+    5th doc gets a decomposed 'cafe' + combining acute appended; the
+    normalizer must compose it (and leave already-NFC docs unchanged)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" cafe\u0301")  # decomposed: e + combining acute
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.normalize_unicode(docs)
+
+
+_SQL_NORMALIZE_UNICODE = """
+WITH planted AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0 THEN ' cafe' || chr(769) ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, nfc_normalize(text) AS text_norm,
+  COALESCE(nfc_normalize(text) <> text, false) AS changed
+FROM planted
+"""
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule combined quality gate with auditable per-rule failure
     reasons. Thresholds picked so several rules actually fire on this
@@ -3189,6 +3216,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rate_sample": (q_rate_sample, _SQL_RATE_SAMPLE),
     "corpus_stats": (q_corpus_stats, _SQL_CORPUS_STATS),
     "clean_corpus": (q_clean_corpus, _SQL_CLEAN_CORPUS),
+    "normalize_unicode": (q_normalize_unicode, _SQL_NORMALIZE_UNICODE),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),

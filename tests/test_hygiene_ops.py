@@ -340,3 +340,20 @@ def test_corpus_stats_rollup(spark):
         textstats.corpus_stats(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_normalize_unicode_composes_and_flags(spark):
+    rows = [
+        (1, "plain ascii stays"),
+        (2, "cafe\u0301 needs composing"),  # decomposed: e + combining acute
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.normalize_unicode(docs).collect()}
+    assert out[1]["text_norm"] == "plain ascii stays" and not out[1]["changed"]
+    assert out[2]["text_norm"] == "caf\u00e9 needs composing" and out[2]["changed"]
+    assert out[3]["text_norm"] is None and not out[3]["changed"]
+    plan = (
+        textstats.normalize_unicode(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
