@@ -492,3 +492,179 @@ def lsh_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+# ── Product quantization (PQ / ADC) ────────────────────────────────────
+# The 100 TB ANN memory path: vectors compress to m sub-codes (here
+# 8×4-bit-ish = 8 small ints vs 64 float32 = 32× smaller), queries scan
+# codes with per-subspace distance TABLES (pure arithmetic, no vector
+# reads), and only the top k×refine candidates touch raw vectors for
+# exact re-ranking. Same determinism discipline as IVF/LSH above:
+# default codebooks come from the integer LCG so the DuckDB oracle
+# re-derives every decision exactly; pq_train provides the real
+# kmeans-trained codebooks for production (same integer encoding space,
+# no oracle — quality pinned by a recall test instead).
+
+
+def pq_codeword_ints(sub: int, code: int, dsub: int) -> list[int]:
+    """Deterministic codeword ``code`` of subspace ``sub`` as integers
+    in [-1000, 1000] — LCG family, seed space disjoint from planes and
+    IVF centroids."""
+    return plane_weights_int(200_003 + sub * 1021 + code, dsub)
+
+
+def pq_codebook_int(m: int, n_codes: int, dim: int) -> np.ndarray:
+    """(m, n_codes, dim/m) int64 codebook in the ⌊v·1e6⌋ quantized
+    space (LCG ints scaled ×1000, i.e. codeword components span
+    [-1, 1] at 1e-3 resolution)."""
+    dsub = dim // m
+    return (
+        np.array(
+            [
+                [pq_codeword_ints(s, c, dsub) for c in range(n_codes)]
+                for s in range(m)
+            ],
+            dtype=np.int64,
+        )
+        * 1000
+    )
+
+
+def pq_train(
+    vectors: np.ndarray, m: int = 8, n_codes: int = 16, iters: int = 10, seed: int = 0
+) -> np.ndarray:
+    """Train real PQ codebooks: per-subspace Lloyd k-means with seeded
+    k-means++-style init, returned in the SAME ⌊·1e6⌋ integer space the
+    encoder uses (drop-in replacement for the LCG default). Driver-side
+    numpy on a SAMPLE (PQ training classically uses ~100k vectors, not
+    the corpus) — deterministic for a fixed (sample, m, n_codes, iters,
+    seed)."""
+    n, dim = vectors.shape
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    out = np.empty((m, n_codes, dsub), dtype=np.int64)
+    for s in range(m):
+        X = vectors[:, s * dsub : (s + 1) * dsub].astype(np.float64)
+        # seeded farthest-point-ish init: first pick random, rest by
+        # max distance to the chosen set (deterministic argmax ties)
+        cents = [X[rng.randint(n)]]
+        for _ in range(n_codes - 1):
+            d2 = np.min(
+                [((X - c) ** 2).sum(axis=1) for c in cents], axis=0
+            )
+            cents.append(X[int(np.argmax(d2))])
+        C = np.vstack(cents)
+        for _ in range(iters):
+            assign = np.argmin(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        out[s] = np.floor(C * 1_000_000.0).astype(np.int64)
+    return out
+
+
+_PQ_UDF_CACHE: dict = {}
+
+
+def _pq_encode_udf(m: int, n_codes: int, dim: int, codebook: np.ndarray | None):
+    key = (m, n_codes, dim, None if codebook is None else codebook.tobytes())
+    if key not in _PQ_UDF_CACHE:
+        CB = pq_codebook_int(m, n_codes, dim) if codebook is None else codebook
+        dsub = dim // m
+
+        @F.pandas_udf("array<int>")
+        def enc(s: pd.Series) -> pd.Series:
+            n = len(s)
+            arr = s.to_numpy()
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in arr), dtype=np.int64, count=n
+            )
+            ok = np.flatnonzero(lens == dim)
+            rows = np.full(n, None, dtype=object)
+            if ok.size:
+                V = np.vstack([arr[i] for i in ok]).astype(np.float64)
+                vint = np.floor(V * 1_000_000.0).astype(np.int64)
+                vsub = vint.reshape(len(ok), m, 1, dsub)
+                # (n, m, k): exact integer distances; argmin takes the
+                # FIRST minimum — ties to the lowest code, same as the
+                # oracle's ORDER BY d2, code
+                d2 = ((vsub - CB[None, :, :, :]) ** 2).sum(axis=3)
+                codes = np.argmin(d2, axis=2).astype(np.int32)
+                for j, i in enumerate(ok):
+                    rows[i] = codes[j].tolist()
+            return pd.Series(rows, dtype=object)
+
+        _PQ_UDF_CACHE[key] = enc
+    return _PQ_UDF_CACHE[key]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """Append ``pq_codes`` (array<int>, length m; null for wrong-length
+    vectors): per subspace, the integer-exact nearest codeword. Zero
+    shuffle — at write time a production table stores this column
+    (32× smaller than the raw vectors) and ADC queries scan only it."""
+    return embeddings.withColumn(
+        "pq_codes", _pq_encode_udf(m, n_codes, dim, codebook)(F.col(vec_col))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank: score every row by the sum of m
+    per-subspace query→codeword distance TABLE lookups (the tables are
+    literal arrays folded into the plan — scoring is pure codegen
+    arithmetic over the tiny ``pq_codes`` column, no vector reads and
+    no Python), TakeOrdered the k×refine best approximate candidates,
+    then exact-cosine re-rank only those. Output: (id, score) like
+    :func:`brute_force_topk`.
+
+    Scale shape: one code-column scan + TakeOrdered(k×refine) + an
+    O(candidates) re-rank — the raw vector column is read for k×refine
+    rows, not the corpus. Approximation quality rides the codebook:
+    LCG default for engine-replayable tests, :func:`pq_train` output
+    for production."""
+    CB = pq_codebook_int(m, n_codes, dim) if codebook is None else codebook
+    dsub = dim // m
+    qint = np.floor(np.asarray(query_vec, dtype=np.float64) * 1_000_000.0).astype(
+        np.int64
+    ).reshape(m, 1, dsub)
+    T = ((qint - CB) ** 2).sum(axis=2)  # (m, n_codes) int64
+    coded = pq_encode(embeddings, m, n_codes, dim, vec_col, codebook)
+    tables = [
+        F.array(*[F.lit(int(T[s, c])) for c in range(n_codes)]) for s in range(m)
+    ]
+    approx = tables[0][F.col("pq_codes")[0]]
+    for s in range(1, m):
+        approx = approx + tables[s][F.col("pq_codes")[s]]
+    cand = (
+        coded.filter(F.col("pq_codes").isNotNull())
+        .select(id_col, vec_col, approx.alias("_adc"))
+        .orderBy(F.asc("_adc"), F.col(id_col))
+        .limit(k * refine)
+    )
+    score = cosine_to_query(F.col(vec_col), query_vec)
+    return (
+        cand.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -1822,6 +1822,73 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(v) for v in row["embedding"]]
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-rank (LCG codebooks so
+    the oracle replays every encode/score/candidate decision exactly —
+    the oracle validates the PQ machinery itself, not agreement with
+    exact search, which is codebook-quality-dependent by design)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return simsearch.pq_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _pq_oracle_sql(m: int = 8, n_codes: int = 16, dim: int = 64,
+                   k: int = 10, refine: int = 10) -> str:
+    """Replay PQ-ADC exactly: codebook literals from the same LCG,
+    integer-exact encode (argmin ties to lowest code), query distance
+    tables, candidate TakeOrdered, exact-cosine re-rank."""
+    from barks_ocr_spark.operators.simsearch import pq_codeword_ints
+
+    dsub = dim // m
+    cb_rows = ",\n    ".join(
+        f"({s}, {c}, {[w * 1000 for w in pq_codeword_ints(s, c, dsub)]})"
+        for s in range(m)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH cb(sub, code, cw) AS (VALUES
+    {cb_rows}
+), vint AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), d2 AS (
+  SELECT v.vec_id, cb.sub, cb.code,
+    list_sum(list_transform(
+      list_zip(v.v[cb.sub * {dsub} + 1 : (cb.sub + 1) * {dsub}], cb.cw),
+      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM vint v CROSS JOIN cb
+  WHERE len(v.v) = {dim}
+), chosen AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM d2)
+  WHERE rn = 1
+), qt AS (
+  SELECT sub, code, dist FROM d2 WHERE vec_id = {_QUERY_VEC_ID}
+), approx AS (
+  SELECT c.vec_id, SUM(q.dist) AS adc
+  FROM chosen c JOIN qt q USING (sub, code)
+  WHERE c.vec_id <> {_QUERY_VEC_ID}
+  GROUP BY c.vec_id
+), cand AS (
+  SELECT vec_id FROM approx ORDER BY adc, vec_id LIMIT {k * refine}
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+SELECT e.vec_id,
+  ROUND(
+    list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])),
+                            x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+       * sqrt(list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)))), 6) AS score
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY score DESC, e.vec_id LIMIT {k}
+"""
+
+
+_SQL_PQ_TOPK = _pq_oracle_sql()
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
     return simsearch.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -3234,6 +3301,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lsh_topk_indexed": (q_lsh_topk_indexed, _SQL_LSH_TOPK),
     "ivf_topk": (q_ivf_topk, _SQL_IVF_TOPK),
     "ivf_topk_indexed": (q_ivf_topk_indexed, _SQL_IVF_TOPK),
+    "pq_topk": (q_pq_topk, _SQL_PQ_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),

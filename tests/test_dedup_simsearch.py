@@ -226,3 +226,83 @@ def test_simhash_kernel_contract_matches_relational(spark):
     for fn in (dedup.simhash_signatures_kernel, dedup.simhash_signatures):
         got = sorted(r["doc_id"] for r in fn(docs).collect())
         assert got == [4], fn.__name__
+
+
+def _emb_table(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_pq_encode_shapes_and_nulls(spark):
+    import numpy as np
+
+    rows = [
+        (1, [0.1] * 64),
+        (2, [0.5] * 32),   # wrong length → null codes
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["pq_codes"] for r in simsearch.pq_encode(df).collect()}
+    assert len(out[1]) == 8 and all(0 <= c < 16 for c in out[1])
+    assert out[2] is None and out[3] is None
+    # deterministic across partitionings
+    again = {
+        r["vec_id"]: r["pq_codes"]
+        for r in simsearch.pq_encode(df.repartition(3)).collect()
+    }
+    assert again == out
+
+
+def test_pq_full_refine_equals_brute_force(spark):
+    # with k*refine >= corpus size the candidate set is ALL rows, so
+    # the exact re-rank makes PQ-ADC identical to brute force — the
+    # invariant that the approximation lives only in candidate pruning
+    emb = _emb_table(spark).filter("vec_id != 0")
+    q = [
+        float(x)
+        for x in _emb_table(spark).filter("vec_id = 0").first()["embedding"]
+    ]
+    exact = [tuple(r) for r in simsearch.brute_force_topk(emb, q, k=10).collect()]
+    pq = [
+        tuple(r)
+        for r in simsearch.pq_topk(emb, q, k=10, refine=100).collect()
+    ]
+    assert pq == exact
+
+
+def test_pq_trained_codebooks_cut_quantization_error(spark):
+    # kmeans minimizes exactly the reconstruction MSE a random (LCG)
+    # codebook doesn't — pin the training objective, not per-query
+    # recall (which is query-dependent either way)
+    import numpy as np
+
+    emb = _emb_table(spark).filter("vec_id != 0")
+    sample = np.array(
+        [list(r["embedding"]) for r in emb.limit(300).collect()], dtype=np.float64
+    )
+    vint = np.floor(sample * 1_000_000.0).astype(np.int64)
+
+    def recon_err(cb):
+        m, k, dsub = cb.shape
+        v = vint.reshape(len(vint), m, 1, dsub)
+        d2 = ((v - cb[None]) ** 2).sum(axis=3)
+        return d2.min(axis=2).sum()
+
+    lcg = simsearch.pq_codebook_int(8, 16, 64)
+    trained = simsearch.pq_train(sample, seed=7)
+    assert trained.shape == lcg.shape
+    assert recon_err(trained) < 0.5 * recon_err(lcg)
+
+
+def test_pq_topk_candidates_are_takeordered(spark):
+    emb = _emb_table(spark).filter("vec_id != 0")
+    q = [
+        float(x)
+        for x in _emb_table(spark).filter("vec_id = 0").first()["embedding"]
+    ]
+    plan = (
+        simsearch.pq_topk(emb, q, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a full corpus sort
