@@ -649,7 +649,19 @@ def pq_topk(
         np.int64
     ).reshape(m, 1, dsub)
     T = ((qint - CB) ** 2).sum(axis=2)  # (m, n_codes) int64
-    coded = pq_encode(embeddings, m, n_codes, dim, vec_col, codebook)
+    # Wrong-length vectors are pruned with a cheap JVM size() filter
+    # BEFORE the encode — filtering on isnotnull(pq_codes) instead
+    # makes ExtractPythonUDFs materialize the encode kernel TWICE (once
+    # under the pushed-down filter, once for the ADC projection); the
+    # duplicated-UDF plan was caught by the indexed-vs-inline plan pin.
+    coded = pq_encode(
+        embeddings.filter(F.size(F.col(vec_col)) == dim),
+        m,
+        n_codes,
+        dim,
+        vec_col,
+        codebook,
+    )
     tables = [
         F.array(*[F.lit(int(T[s, c])) for c in range(n_codes)]) for s in range(m)
     ]
@@ -657,7 +669,76 @@ def pq_topk(
     for s in range(1, m):
         approx = approx + tables[s][F.col("pq_codes")[s]]
     cand = (
-        coded.filter(F.col("pq_codes").isNotNull())
+        coded.select(id_col, vec_col, approx.alias("_adc"))
+        .orderBy(F.asc("_adc"), F.col(id_col))
+        .limit(k * refine)
+    )
+    score = cosine_to_query(F.col(vec_col), query_vec)
+    return (
+        cand.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_write(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> None:
+    """Materialize the PQ index: embeddings written WITH their
+    ``pq_codes`` column — the PQ analogue of :func:`ivf_write` /
+    :func:`lsh_write`. Encoding (the only Python stage) runs ONCE here;
+    :func:`pq_topk_indexed` then scores the stored code column with
+    pure codegen table lookups and reads raw vectors only for the
+    re-rank candidates. At 10^12 rows the codes column is what a query
+    scans — 32× less I/O than the vector column, which columnar
+    projection skips entirely until the re-rank."""
+    (
+        pq_encode(embeddings, m, n_codes, dim, vec_col, codebook)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k over a materialized index (:func:`pq_write`
+    output): no encode at read time — the exact-cosine rescore is
+    the plan's ONLY Arrow stage (pinned by
+    test_pq_indexed_no_encode_recompute) — literal distance-table
+    lookups over the stored codes, TakeOrdered candidates, exact
+    re-rank."""
+    CB = pq_codebook_int(m, n_codes, dim) if codebook is None else codebook
+    dsub = dim // m
+    qint = np.floor(
+        np.asarray(query_vec, dtype=np.float64) * 1_000_000.0
+    ).astype(np.int64).reshape(m, 1, dsub)
+    T = ((qint - CB) ** 2).sum(axis=2)
+    tables = [
+        F.array(*[F.lit(int(T[s, c])) for c in range(n_codes)]) for s in range(m)
+    ]
+    approx = tables[0][F.col("pq_codes")[0]]
+    for s in range(1, m):
+        approx = approx + tables[s][F.col("pq_codes")[s]]
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("pq_codes").isNotNull())
         .select(id_col, vec_col, approx.alias("_adc"))
         .orderBy(F.asc("_adc"), F.col(id_col))
         .limit(k * refine)

@@ -306,3 +306,27 @@ def test_pq_topk_candidates_are_takeordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan  # never a full corpus sort
+
+
+def test_pq_indexed_no_encode_recompute(spark, tmp_path):
+    emb = _emb_table(spark).filter("vec_id != 0")
+    q = [
+        float(x)
+        for x in _emb_table(spark).filter("vec_id = 0").first()["embedding"]
+    ]
+    path = str(tmp_path / "pqidx")
+    simsearch.pq_write(emb, path)
+    out = simsearch.pq_topk_indexed(spark, path, q, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the exact-cosine rescore is the ONLY Arrow stage: the encode ran
+    # once at write time, ADC scoring is literal-array lookups (codegen)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "TakeOrderedAndProject" in plan
+    # ...while the inline path carries a second Arrow stage (the encode)
+    inline_df = simsearch.pq_topk(emb, q, k=10)
+    inline_plan = inline_df._jdf.queryExecution().executedPlan().toString()
+    assert inline_plan.count("ArrowEvalPython") == 2
+    # indexed result == inline result (same codebook, same decisions)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in inline_df.collect()
+    ]
