@@ -2055,6 +2055,17 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_topk over a MATERIALIZED code-carrying index
+    (simsearch.pq_write): read-time scoring is pure codegen over the
+    stored codes (pinned by test_pq_indexed_no_encode_recompute). Same
+    oracle as pq_topk — write-time vs read-time encoding must agree."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    path = _index_dir(sf_dir, "pq")
+    simsearch.pq_write(emb, path)
+    return simsearch.pq_topk_indexed(spark, path, _query_vec(spark, sf_dir), k=10)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over an LSH-bucketed self-join.
 
@@ -3302,6 +3313,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ivf_topk": (q_ivf_topk, _SQL_IVF_TOPK),
     "ivf_topk_indexed": (q_ivf_topk_indexed, _SQL_IVF_TOPK),
     "pq_topk": (q_pq_topk, _SQL_PQ_TOPK),
+    "pq_topk_indexed": (q_pq_topk_indexed, _SQL_PQ_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),
