@@ -122,14 +122,17 @@ def decontaminate(
     ``dedup_corpus`` turns pair-finding into a survivor list.
 
     Plan: flag (broadcast semi-join against eval grams, see
-    `contamination`) → distinct flagged doc_ids → broadcast LEFT ANTI
-    against the corpus. The flagged list is bounded by the eval set's
-    reach (tiny vs the corpus), so the fat side never reshuffles — at
-    100 TB this is one corpus scan for flagging and one for the
-    anti-join, both exchange-free on the corpus side."""
+    `contamination`) → distinct flagged doc_ids → LEFT ANTI against the
+    corpus. The flagged list is usually tiny (it is bounded by how much
+    of the CORPUS collides, not by the eval set's size — a small n or
+    very common grams can flag a large corpus fraction), so the anti-join
+    side is left to AQE: it broadcasts when the runtime size allows and
+    degrades to a shuffled anti-join when it doesn't, instead of a forced
+    hint OOMing the driver on a pathological flag rate. At 100 TB this is
+    one corpus scan for flagging and one for the anti-join."""
     flagged = (
         contamination(corpus, eval_docs, n, text_col)
         .filter(F.col("n_contaminated") >= min_hits)
         .select("doc_id")
     )
-    return corpus.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return corpus.join(flagged, "doc_id", "left_anti")

@@ -396,8 +396,13 @@ def _simhash_batch(texts):  # type: (pd.Series) -> pd.Series
     import numpy as np
     import pandas as pd
 
-    non_alnum = re.compile(r"[^a-z0-9\s]")
-    ws = re.compile(r"\s+")
+    # re.ASCII: Python's Unicode \s also matches NBSP/U+2028/\x85, which
+    # the relational form's Java regex (canonical_text) does NOT — those
+    # must be STRIPPED (non-alnum), not treated as token separators, or
+    # fingerprint-equal docs with exotic whitespace tokenize differently
+    # per form and fail to pair at hamming 0.
+    non_alnum = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
     token_lists = []
     flat: list[str] = []
     for t in texts:
@@ -526,9 +531,15 @@ def remove_repeated_chunks(
     """
     with_chunks = docs.select(
         "doc_id",
-        F.filter(
-            F.split(F.col(text_col), delim_re),
-            lambda c: F.trim(c) != "",
+        # split(NULL) is NULL and size(NULL) is -1 — coalesce to the
+        # empty array so a null-text doc takes the documented chunkless
+        # path (doc_id, '', 0, 0) instead of emitting n_chunks = -1
+        F.coalesce(
+            F.filter(
+                F.split(F.col(text_col), delim_re),
+                lambda c: F.trim(c) != "",
+            ),
+            F.array().cast("array<string>"),
         ).alias("_chunks"),
     )
     totals = with_chunks.select(

@@ -51,7 +51,15 @@ def cap_per_group(
     map-side combined) → exclusive prefix-sum over the tiny bucket
     table → prune buckets whose base offset is already ≥ cap → exact
     row_number only per (group, bucket), input ~cap-proportional.
-    Selection is byte-identical to the single-window formulation."""
+    Selection is byte-identical to the single-window formulation —
+    including rows with a NULL group (a valid window partition), which
+    the bucket join matches null-safely.
+
+    Broadcast caveat (same as ``budget_sample``): the live bucket table
+    is bounded by groups × 16^bucket_chars rows. Per-domain capping can
+    mean millions of groups — there, lower ``bucket_chars`` (1 → 16
+    buckets/group) or remove the hint so AQE picks the join side; the
+    selection math is unchanged either way."""
     bucketed = df.withColumn(
         "_rk", _rank_key(id_col)
     ).withColumn("_bk", F.substring("_rk", 1, bucket_chars))
@@ -64,12 +72,21 @@ def cap_per_group(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     bases = counts.select(
-        group_col,
-        "_bk",
+        F.col(group_col).alias("_g_live"),
+        F.col("_bk").alias("_bk_live"),
         F.coalesce(F.sum("_bk_rows").over(wb), F.lit(0)).alias("_bk_base"),
     )
     live = bases.filter(F.col("_bk_base") < cap)
-    pruned = bucketed.join(F.broadcast(live), [group_col, "_bk"], "inner")
+    # eqNullSafe on the group key: a NULL group is a real window
+    # partition and must keep its rows (an equality key would silently
+    # drop every null-group row — still a broadcast HASH join, Spark
+    # hashes null-safe keys via coalesce).
+    pruned = bucketed.join(
+        F.broadcast(live),
+        F.col(group_col).eqNullSafe(F.col("_g_live"))
+        & (F.col("_bk") == F.col("_bk_live")),
+        "inner",
+    ).drop("_g_live", "_bk_live")
     w = (
         Window.partitionBy(group_col, "_bk")
         .orderBy("_rk", F.col(id_col))
@@ -222,15 +239,22 @@ def budget_sample(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     bases = bucket_totals.select(
-        group_col,
-        "_bk",
+        F.col(group_col).alias("_g_live"),
+        F.col("_bk").alias("_bk_live"),
         F.coalesce(F.sum("_bk_tokens").over(wb), F.lit(0)).alias("_bk_base"),
     )
     # Only buckets whose base offset is still under budget can contain
     # kept rows; everything after the boundary bucket is dropped before
-    # the exact window ever sees it.
+    # the exact window ever sees it. eqNullSafe on the group key: a NULL
+    # group is a real window partition and must keep its budget (an
+    # equality key would silently drop every null-group row).
     live = bases.filter(F.col("_bk_base") < budget_tokens)
-    pruned = sized.join(F.broadcast(live), [group_col, "_bk"], "inner")
+    pruned = sized.join(
+        F.broadcast(live),
+        F.col(group_col).eqNullSafe(F.col("_g_live"))
+        & (F.col("_bk") == F.col("_bk_live")),
+        "inner",
+    ).drop("_g_live", "_bk_live")
     w = (
         Window.partitionBy(group_col, "_bk")
         .orderBy("_rk", id_col)

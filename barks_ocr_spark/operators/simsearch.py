@@ -638,11 +638,14 @@ def pq_topk(
     then exact-cosine re-rank only those. Output: (id, score) like
     :func:`brute_force_topk`.
 
-    Scale shape: one code-column scan + TakeOrdered(k×refine) + an
-    O(candidates) re-rank — the raw vector column is read for k×refine
-    rows, not the corpus. Approximation quality rides the codebook:
-    LCG default for engine-replayable tests, :func:`pq_train` output
-    for production."""
+    Scale shape: the corpus-wide candidate stage is TakeOrdered over
+    (id, _adc) ONLY — the raw vector column never enters it (columnar
+    projection skips it entirely), so the big scan reads the 32×-smaller
+    code column; the ≤ k×refine candidate ids then broadcast-join back
+    to the source to fetch vectors for the exact re-rank. Pinned by
+    test_pq_candidate_scan_never_reads_vectors. Approximation quality
+    rides the codebook: LCG default for engine-replayable tests,
+    :func:`pq_train` output for production."""
     CB = pq_codebook_int(m, n_codes, dim) if codebook is None else codebook
     dsub = dim // m
     qint = np.floor(np.asarray(query_vec, dtype=np.float64) * 1_000_000.0).astype(
@@ -669,13 +672,15 @@ def pq_topk(
     for s in range(1, m):
         approx = approx + tables[s][F.col("pq_codes")[s]]
     cand = (
-        coded.select(id_col, vec_col, approx.alias("_adc"))
+        coded.select(id_col, approx.alias("_adc"))
         .orderBy(F.asc("_adc"), F.col(id_col))
         .limit(k * refine)
+        .select(id_col)
     )
     score = cosine_to_query(F.col(vec_col), query_vec)
     return (
-        cand.select(F.col(id_col), F.round(score, 6).alias("score"))
+        embeddings.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -722,8 +727,11 @@ def pq_topk_indexed(
     output): no encode at read time — the exact-cosine rescore is
     the plan's ONLY Arrow stage (pinned by
     test_pq_indexed_no_encode_recompute) — literal distance-table
-    lookups over the stored codes, TakeOrdered candidates, exact
-    re-rank."""
+    lookups over the stored codes, TakeOrdered over (id, _adc) only
+    (the corpus-wide scan reads the code column, never the vectors —
+    pinned by test_pq_candidate_scan_never_reads_vectors), then a
+    broadcast join back on id fetches the ≤ k×refine candidate vectors
+    for the exact re-rank."""
     CB = pq_codebook_int(m, n_codes, dim) if codebook is None else codebook
     dsub = dim // m
     qint = np.floor(
@@ -739,13 +747,17 @@ def pq_topk_indexed(
     cand = (
         spark.read.parquet(path)
         .filter(F.col("pq_codes").isNotNull())
-        .select(id_col, vec_col, approx.alias("_adc"))
+        .select(id_col, approx.alias("_adc"))
         .orderBy(F.asc("_adc"), F.col(id_col))
         .limit(k * refine)
+        .select(id_col)
     )
     score = cosine_to_query(F.col(vec_col), query_vec)
     return (
-        cand.select(F.col(id_col), F.round(score, 6).alias("score"))
+        spark.read.parquet(path)
+        .select(id_col, vec_col)
+        .join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )

@@ -330,3 +330,27 @@ def test_pq_indexed_no_encode_recompute(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [
         tuple(r) for r in inline_df.collect()
     ]
+
+
+def test_pq_candidate_scan_never_reads_vectors(spark, tmp_path):
+    # the 32×-less-I/O contract: the corpus-wide ADC candidate stage
+    # scans (id, pq_codes) ONLY — the fat embedding column is read by a
+    # separate scan that joins the ≤ k*refine candidate ids back
+    emb = _emb_table(spark).filter("vec_id != 0")
+    q = [
+        float(x)
+        for x in _emb_table(spark).filter("vec_id = 0").first()["embedding"]
+    ]
+    path = str(tmp_path / "pqidx")
+    simsearch.pq_write(emb, path)
+    out = simsearch.pq_topk_indexed(spark, path, q, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    schemas = [
+        seg.split("\n", 1)[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    code_scans = [s for s in schemas if "pq_codes" in s]
+    assert code_scans, plan  # the ADC scan must read the stored codes
+    assert all("embedding" not in s for s in code_scans), code_scans
+    # and the candidate fetch is a broadcast join, not a shuffle of the
+    # vector table
+    assert "BroadcastHashJoin" in plan
