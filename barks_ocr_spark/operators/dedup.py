@@ -439,27 +439,13 @@ def _simhash_batch(texts):  # type: (pd.Series) -> pd.Series
 _simhash_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
-    text_col: str = "text",
-    max_hamming: int = 3,
-    use_kernel: bool = True,
-) -> DataFrame:
-    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
-
-    Bucketing: split the 64-bit sig into (max_hamming+1) segments — by
-    pigeonhole, any pair within budget agrees exactly on ≥1 segment, so
-    the self-join runs on (segment_id, segment_value) buckets only.
-
-    ``use_kernel`` picks the zero-shuffle signature kernel (default);
-    pass False for the relational xxhash64 form (signature values
-    differ between the two, pair semantics do not).
-    """
+def simhash_segment_table(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(simhash, seg, val) pigeonhole rows for a signature column: the
+    64-bit sig split into (max_hamming+1) segments — any pair within the
+    hamming budget agrees exactly on ≥1 segment. Input should be the
+    DISTINCT signature set (see simhash_near_duplicates's skew note)."""
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
-    sig_fn = simhash_signatures_kernel if use_kernel else simhash_signatures
-    sigs = _persist(sig_fn(docs, text_col))
-    sigs.count()
     seg_structs = [
         F.struct(
             F.lit(i).alias("seg"),
@@ -469,27 +455,117 @@ def simhash_near_duplicates(
         )
         for i in range(n_seg)
     ]
-    exploded = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*seg_structs)).alias("sv"),
-    ).select("doc_id", "simhash", "sv.seg", "sv.val")
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "seg", "val"
+    return sigs.select(
+        "simhash", F.explode(F.array(*seg_structs)).alias("sv")
+    ).select("simhash", "sv.seg", "sv.val")
+
+
+def hot_simhash_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """(seg, val, n_sigs) segment buckets holding more DISTINCT
+    signatures than ``max_bucket_size`` — the audit view for
+    simhash_near_duplicates's optional bucket cap ('log what was
+    dropped': count() this before capping a production run)."""
+    sig_fn = simhash_signatures_kernel if use_kernel else simhash_signatures
+    usig = sig_fn(docs, text_col).select("simhash").distinct()
+    return (
+        simhash_segment_table(usig, max_hamming)
+        .groupBy("seg", "val")
+        .agg(F.count("*").alias("n_sigs"))
+        .filter(F.col("n_sigs") > max_bucket_size)
     )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "seg", "val"
-    )
-    pairs = (
-        a.join(b, ["seg", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    use_kernel: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Bucketing: split the 64-bit sig into (max_hamming+1) segments — by
+    pigeonhole, any pair within budget agrees exactly on ≥1 segment, so
+    the self-join runs on (segment_id, segment_value) buckets only.
+
+    Skew discipline: the segment self-join runs over DISTINCT signatures
+    only. Identical documents share one signature, so a corpus with a
+    million byte-identical docs contributes ONE row per segment to the
+    join — not a million-row hot bucket going quadratic in the shuffle
+    (the skewed-key failure mode; input boundedness pinned by
+    test_simhash_hot_bucket_join_input_is_bounded). Doc pairs re-expand
+    afterward by joining signature members back on simhash:
+
+    - cross-signature pairs inherit their sigs' hamming distance and are
+      output-proportional by construction (each surviving sig pair);
+    - same-signature pairs (hamming 0) come from a members self-join on
+      simhash — quadratic only in group size where the OUTPUT is
+      genuinely quadratic (those pairs are the answer).
+
+    ``max_bucket_size`` optionally drops (seg, val) buckets holding more
+    distinct signatures than the cap before the join — OFF by default
+    (unlike hot shingles, a hot segment bucket needs many DISTINCT
+    near-colliding signatures, not mere duplication); audit what a cap
+    would drop via :func:`hot_simhash_buckets`. Capping loses only pairs
+    whose EVERY agreeing segment is hot.
+
+    ``use_kernel`` picks the zero-shuffle signature kernel (default);
+    pass False for the relational xxhash64 form (signature values
+    differ between the two, pair semantics do not).
+    """
+    sig_fn = simhash_signatures_kernel if use_kernel else simhash_signatures
+    sigs = _persist(sig_fn(docs, text_col))
+    sigs.count()
+    usig = sigs.select("simhash").distinct()
+    exploded = _persist(simhash_segment_table(usig, max_hamming))
+    exploded.count()
+    if max_bucket_size is not None:
+        hot = (
+            exploded.groupBy("seg", "val")
+            .agg(F.count("*").alias("n_sigs"))
+            .filter(F.col("n_sigs") > max_bucket_size)
+            .select("seg", "val")
+        )
+        exploded = exploded.join(F.broadcast(hot), ["seg", "val"], "left_anti")
+    sa = exploded.select(F.col("simhash").alias("sig_a"), "seg", "val")
+    sb = exploded.select(F.col("simhash").alias("sig_b"), "seg", "val")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    sig_pairs = (
+        sa.join(sb, ["seg", "val"])
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b")
+        .filter(ham <= max_hamming)
+        .distinct()
+        .select("sig_a", "sig_b", ham.alias("hamming"))
     )
+    mem_a = sigs.select(F.col("doc_id").alias("_da"), F.col("simhash").alias("sig_a"))
+    mem_b = sigs.select(F.col("doc_id").alias("_db"), F.col("simhash").alias("sig_b"))
+    cross = (
+        sig_pairs.join(mem_a, "sig_a")
+        .join(mem_b, "sig_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = sigs.alias("x"), sigs.alias("y")
+    same = (
+        x.join(y, "simhash")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionAll(same)
 
 
 def remove_repeated_chunks(

@@ -376,8 +376,9 @@ def lsh_write(
     with no prefix structure), so the table is NOT partitioned by sig —
     the read-time win is skipping the signature compute, and the prune
     filter is a codegen'd bit_count on the stored column. At 10^12 rows
-    the banded-multi-probe layout (B band tables, pigeonhole-exact for
-    h < B) is the next step; this single-table form keeps storage 1×.
+    use the banded-multi-probe layout (:func:`lsh_band_write`, B band
+    tables, pigeonhole-exact for h < B) so probes read band-bucket
+    slivers; this single-table form keeps storage 1×.
     """
     v = F.col(vec_col)
     (
@@ -411,6 +412,117 @@ def lsh_topk_indexed(
     score = cosine_to_query(F.col(vec_col), query_vec)
     return (
         pruned.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_band_write(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> None:
+    """Banded multi-probe LSH index — the 10^12-row layout
+    :func:`lsh_write`'s docstring names. Two tables:
+
+    - ``<path>/bands``: (id, sig, band, val) — each row exploded into
+      ``n_bands`` band rows, PARTITIONED BY (band, val), so a probe for
+      band i / value v is parquet partition pruning down to one sliver
+      (n_bands × 2^(n_planes/n_bands) directories; 8×4 bits → 8×16
+      partitions at the defaults). The fat vector column does NOT ride
+      the band rows — band storage is n_bands × (id + 8-byte sig).
+    - ``<path>/base``: (id, vec) — the re-rank side, scanned only for
+      candidate ids (broadcast join, same discipline as PQ's re-rank).
+
+    Pigeonhole: any signature within hamming h < n_bands of the query
+    agrees with it EXACTLY on ≥1 band, so reading the n_bands probe
+    slivers covers every qualifying candidate — :func:`lsh_topk_banded`
+    is then exact vs :func:`lsh_topk` for max_hamming < n_bands."""
+    if n_planes % n_bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    v = F.col(vec_col)
+    embeddings.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/base"
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), i * band_bits)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .alias("val"),
+        )
+        for i in range(n_bands)
+    ]
+    (
+        embeddings.select(
+            id_col, sign_lsh_bits(v, n_planes, dim).alias("sig")
+        )
+        .select(id_col, "sig", F.explode(F.array(*band_structs)).alias("bv"))
+        .select(id_col, "sig", "bv.band", "bv.val")
+        .repartition("band", "val")
+        .write.mode("overwrite")
+        .partitionBy("band", "val")
+        .parquet(f"{path}/bands")
+    )
+
+
+def lsh_topk_banded(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k over a banded multi-probe LSH index (:func:`lsh_band_write`
+    output), exact vs :func:`lsh_topk` for max_hamming < n_bands.
+
+    Plan: the n_bands probe predicates are (band, val) partition-column
+    equalities, so Catalyst prunes the bands table to n_bands bucket
+    slivers at planning time (pinned by
+    test_lsh_banded_partition_pruning) — unlike the single-table layout,
+    which scans the full signature column per query. Survivors of the
+    exact hamming filter on the stored sig (pigeonhole guarantees the
+    slivers cover everything in budget) broadcast-join back to the base
+    table for the exact-cosine re-rank."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: the pigeonhole "
+            "guarantee needs h < B (raise n_bands or use lsh_topk_indexed)"
+        )
+    if dim is None:
+        dim = len(query_vec)
+    q_sig = sign_bits_py(query_vec, n_planes, dim)
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    probe = None
+    for i in range(n_bands):
+        p = (F.col("band") == i) & (
+            F.col("val") == ((q_sig >> (i * band_bits)) & mask)
+        )
+        probe = p if probe is None else probe | p
+    cand = (
+        spark.read.parquet(f"{path}/bands")
+        .filter(probe)
+        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    score = cosine_to_query(F.col(vec_col), query_vec)
+    return (
+        spark.read.parquet(f"{path}/base")
+        .join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )

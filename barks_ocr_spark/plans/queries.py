@@ -2042,6 +2042,26 @@ def q_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_topk_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_topk over the BANDED multi-probe layout (lsh_band_write):
+    probes are (band, val) partition pruning instead of a full signature
+    scan (pinned by test_lsh_banded_partition_pruning), pigeonhole-exact
+    at max_hamming 6 < 8 bands. Same oracle as lsh_topk — the banded
+    layout must not change the survivor set."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    path = _index_dir(sf_dir, "lshband")
+    simsearch.lsh_band_write(emb, path, n_planes=16, n_bands=8, dim=64)
+    return simsearch.lsh_topk_banded(
+        spark,
+        path,
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_planes=16,
+        n_bands=8,
+        max_hamming=6,
+    )
+
+
 def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivf_topk over a MATERIALIZED cell-partitioned index
     (simsearch.ivf_write): the probe is parquet partition pruning
@@ -2900,6 +2920,53 @@ FROM planted
 """
 
 
+def q_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization composed AHEAD of fingerprint/exact-dedup in
+    one plan — the composition normalize_unicode's docstring motivates.
+    Planted mixed-form duplicates: every doc gets a composed-é suffix
+    (' café', U+00E9) and its +1M twin the DECOMPOSED form (' cafe' +
+    U+0301). The byte strings differ, so canonical_text alone keys them
+    apart ('caf' vs 'cafe' after the non-ASCII strip); NFC first
+    composes the twin's e+◌́ into é and both fingerprints collapse —
+    every planted pair MUST dedup together (and would not without the
+    NFC stage, pinned by test_nfc_dedup_requires_normalization)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.concat("text", F.lit(" caf\u00e9")).alias("text")  # composed é
+    )
+    twin = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" cafe\u0301")).alias("text"),  # e + combining acute
+    )
+    normed = textstats.normalize_unicode(base.unionAll(twin)).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    out = dedup.exact_duplicates(normed)
+    return out.select(
+        "fp",
+        "n_docs",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("doc_ids"),
+    )
+
+
+_SQL_NFC_DEDUP = f"""
+WITH mixed AS (
+  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' cafe' || chr(769) FROM documents
+), normed AS (
+  SELECT doc_id, nfc_normalize(text) AS text FROM mixed
+)
+SELECT fp, n_docs, doc_ids FROM (
+  SELECT md5({_CANON_SQL}) AS fp, COUNT(*) AS n_docs,
+         array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+  FROM normed GROUP BY 1)
+WHERE n_docs > 1
+"""
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule combined quality gate with auditable per-rule failure
     reasons. Thresholds picked so several rules actually fire on this
@@ -3026,54 +3093,89 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
-def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data prep in ONE declarative plan: Gopher
-    quality gate → PII scrub → eval-set decontamination → per-source
-    token-budget sampling, returning the final mix manifest
-    (doc_id, source, n_tokens, cum_tokens).
+_CLEAN_PROD_PLANT = (
+    "the quick shared benchmark sentence used across evaluation suites everywhere"
+)
+_CLEAN_PROD_MOD = 29
 
-    Plan shape: the gate and scrub are passthrough projections fused
-    into the scan (no joins between them); the decontamination flag
-    pass broadcast-semi-joins eval grams and anti-joins the tiny
-    flagged list; the budget stage is the two-phase bucket refinement.
-    The scrubbed intermediate is consumed by THREE scans (decontam
-    flag, decontam anti-join, budget sizing), so it is persisted and
-    eagerly materialized — the sf-scale analog of the stage checkpoint
-    a 100 TB run would write between scrub and decontam (a corpus
-    doesn't fit in cache there; measured here: 9.3 s → ~5 s without
-    the triple recompute of the gate kernel + scrub regexes)."""
-    from barks_ocr_spark.operators import decontam, sampling
-    from barks_ocr_spark.operators.cacheutil import persist_tracked
+
+def _planted_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the shared 10-word sentence appended to every
+    %29 doc AND every eval (%97) doc — guarantees real 8-gram decontam
+    collisions at the production n (natural 8-gram overlap between
+    disjoint synthetic docs is ~zero, which would leave the n=8 stage
+    unproven as a no-op)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (F.col("doc_id") % _CLEAN_PROD_MOD == 0)
+                | (F.col("doc_id") % 97 == 0),
+                F.lit(" " + _CLEAN_PROD_PLANT),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        "source",
+    )
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in ONE declarative plan
+    (operators/pipeline.clean_corpus): Gopher quality gate → PII scrub →
+    eval-set decontamination → per-source token-budget sampling,
+    returning the final mix manifest (doc_id, source, n_tokens,
+    cum_tokens). See the pipeline module docstring for the plan shape
+    and the persisted-scrub stage checkpoint.
+
+    DEMO operating point: n=3 decontam grams and a 400-token budget —
+    the collision scale this tiny-vocabulary fixture corpus needs
+    (decontam.py:39-42). The PRODUCTION point (n=8, realistic budget)
+    is proven by ``clean_corpus_prod`` below; do not ship these
+    constants."""
+    from barks_ocr_spark.operators import pipeline
 
     docs = load(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    gated = (
-        textstats.gopher_filter(
-            corpus,
-            min_words=30,
-            min_mean_word_len=4.0,
-            passthrough=("text", "source"),
-        )
-        .filter("keep")
-        .select("doc_id", "text", "source")
+    return pipeline.clean_corpus(
+        corpus,
+        eval_docs,
+        n=3,
+        budget_tokens=400,
+        min_words=30,
+        min_mean_word_len=4.0,
     )
-    scrubbed = persist_tracked(
-        textstats.pii_redact(gated, passthrough=("source",)).select(
-            "doc_id", F.col("text_redacted").alias("text"), "source"
-        )
-    )
-    # eager materialization: a lazily-persisted input to a broadcast
-    # build side recomputes instead of reading the cache (README
-    # "Scale design" note)
-    scrubbed.count()
-    cleaned = decontam.decontaminate(scrubbed, eval_docs, n=3)
-    return sampling.budget_sample(cleaned, "source", 400)
 
 
-def _clean_corpus_oracle_sql() -> str:
+def q_clean_corpus_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME composite at the PRODUCTION operating point: n=8
+    decontam (decontam.DEFAULT_NGRAM — the published 8-to-13-gram
+    window's low end) and a 2000-token per-source budget that genuinely
+    truncates this corpus. Real 8-gram collisions come from the planted
+    shared sentence (see _planted_clean_docs), so the decontam stage is
+    proven to REMOVE at n=8, not vacuously pass."""
+    from barks_ocr_spark.operators import pipeline
+
+    docs = _planted_clean_docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return pipeline.clean_corpus(
+        corpus,
+        eval_docs,
+        n=8,
+        budget_tokens=2000,
+        min_words=30,
+        min_mean_word_len=4.0,
+    )
+
+
+def _clean_corpus_oracle_sql(
+    n: int = 3, budget: int = 400, plant: str | None = None
+) -> str:
     """Stitch the stage oracles into one CTE chain, with the PII regex
-    stages generated from the operator's own pattern table."""
+    stages generated from the operator's own pattern table, the decontam
+    gram width ``n``, the budget, and (for the production point) the
+    planted shared sentence all parameterized."""
     from barks_ocr_spark.operators.textstats import _PII_STAGES
 
     prev = "text"
@@ -3088,9 +3190,22 @@ def _clean_corpus_oracle_sql() -> str:
         )
         prev = cur
     scrub_ctes = ",\n".join(scrub)
+    gram = "concat_ws(' ', " + ", ".join(
+        "ws[i]" if j == 0 else f"ws[i+{j}]" for j in range(n)
+    ) + ")"
+    gram_rng = f"generate_series(1, greatest(len(ws)-{n - 1}, 0))"
+    if plant is None:
+        base_cte = "base AS (SELECT doc_id, text, source FROM documents)"
+    else:
+        base_cte = f"""base AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % {_CLEAN_PROD_MOD} = 0 OR doc_id % 97 = 0
+                 THEN ' {plant}' ELSE '' END AS text,
+    source
+  FROM documents)"""
     return f"""
-WITH corpus0 AS (
-  SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+WITH {base_cte}, corpus0 AS (
+  SELECT doc_id, text, source FROM base WHERE doc_id % 97 <> 0
 ), w AS (
   SELECT doc_id, text, source,
     string_split_regex(trim(lower(text)), '\\s+') AS ws
@@ -3141,15 +3256,15 @@ scrubbed AS (
 ), canon AS (
   SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws FROM scrubbed
 ), dg AS (
-  SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
-    for i in generate_series(1, greatest(len(ws)-2, 0))])) AS gram
+  SELECT doc_id, unnest(list_distinct([{gram}
+    for i in {gram_rng}])) AS gram
   FROM canon
 ), ecanon AS (
   SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws
-  FROM documents WHERE doc_id % 97 = 0
+  FROM base WHERE doc_id % 97 = 0
 ), eg AS (
-  SELECT DISTINCT unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
-    for i in generate_series(1, greatest(len(ws)-2, 0))])) AS gram
+  SELECT DISTINCT unnest(list_distinct([{gram}
+    for i in {gram_rng}])) AS gram
   FROM ecanon
 ), flagged AS (
   SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram)
@@ -3168,11 +3283,14 @@ scrubbed AS (
 )
 SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(c AS BIGINT) AS cum_tokens
-FROM cum WHERE c - n_tokens < 400
+FROM cum WHERE c - n_tokens < {budget}
 """
 
 
 _SQL_CLEAN_CORPUS = _clean_corpus_oracle_sql()
+_SQL_CLEAN_CORPUS_PROD = _clean_corpus_oracle_sql(
+    n=8, budget=2000, plant=_CLEAN_PROD_PLANT
+)
 
 
 _BOILER = "all rights reserved contact the archive team for takedown requests"
@@ -3294,7 +3412,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rate_sample": (q_rate_sample, _SQL_RATE_SAMPLE),
     "corpus_stats": (q_corpus_stats, _SQL_CORPUS_STATS),
     "clean_corpus": (q_clean_corpus, _SQL_CLEAN_CORPUS),
+    "clean_corpus_prod": (q_clean_corpus_prod, _SQL_CLEAN_CORPUS_PROD),
     "normalize_unicode": (q_normalize_unicode, _SQL_NORMALIZE_UNICODE),
+    "nfc_dedup": (q_nfc_dedup, _SQL_NFC_DEDUP),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
@@ -3310,6 +3430,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "topk_cosine": (q_topk_cosine, _SQL_TOPK_COSINE),
     "lsh_topk": (q_lsh_topk, _SQL_LSH_TOPK),
     "lsh_topk_indexed": (q_lsh_topk_indexed, _SQL_LSH_TOPK),
+    "lsh_topk_banded": (q_lsh_topk_banded, _SQL_LSH_TOPK),
     "ivf_topk": (q_ivf_topk, _SQL_IVF_TOPK),
     "ivf_topk_indexed": (q_ivf_topk_indexed, _SQL_IVF_TOPK),
     "pq_topk": (q_pq_topk, _SQL_PQ_TOPK),

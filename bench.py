@@ -46,6 +46,12 @@ HEADLINE = [
     "budget_sample",
     "gopher_filter",
     "clean_corpus",
+    # round 6: production-point composite, NFC∘dedup composition, banded
+    # multi-probe LSH, code-column-only PQ
+    "clean_corpus_prod",
+    "nfc_dedup",
+    "lsh_topk_banded",
+    "pq_topk_indexed",
 ]
 
 

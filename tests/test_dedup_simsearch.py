@@ -194,6 +194,85 @@ def test_lsh_indexed_no_signature_recompute(spark, tmp_path):
     assert fly_plan.count("ArrowEvalPython") == 2
 
 
+def test_lsh_banded_matches_single_table(spark, tmp_path):
+    # pigeonhole exactness: for max_hamming < n_bands the banded probe
+    # covers every candidate the full signature scan finds
+    emb = _emb_table(spark).filter("vec_id != 0")
+    q = [
+        float(x)
+        for x in _emb_table(spark).filter("vec_id = 0").first()["embedding"]
+    ]
+    path = str(tmp_path / "lshband")
+    simsearch.lsh_band_write(emb, path, n_planes=16, n_bands=8, dim=64)
+    banded = simsearch.lsh_topk_banded(
+        spark, path, q, k=10, n_planes=16, n_bands=8, max_hamming=6
+    )
+    direct = simsearch.lsh_topk(emb, q, k=10, n_planes=16, max_hamming=6)
+    assert [tuple(r) for r in banded.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
+def test_lsh_banded_partition_pruning(spark, tmp_path):
+    emb = _emb_table(spark).filter("vec_id != 0")
+    q = [
+        float(x)
+        for x in _emb_table(spark).filter("vec_id = 0").first()["embedding"]
+    ]
+    path = str(tmp_path / "lshband")
+    simsearch.lsh_band_write(emb, path, n_planes=16, n_bands=8, dim=64)
+    out = simsearch.lsh_topk_banded(spark, path, q, k=10, n_bands=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probe reaches the bands scan as a PARTITION filter (band, val
+    # are partition columns) — band-bucket slivers, not a full scan
+    assert "PartitionFilters" in plan
+    # the base-table scan has empty partition filters; the BANDS scan
+    # must carry the (band, val) probe predicate
+    pfs = [seg[:400] for seg in plan.split("PartitionFilters")[1:]]
+    assert any("band" in pf and "val" in pf for pf in pfs), pfs
+    # no signature recompute anywhere: the rescore is the only Arrow stage
+    assert plan.count("ArrowEvalPython") == 1
+    # the re-rank fetch is a broadcast join of candidate ids
+    assert "BroadcastHashJoin" in plan
+    # h >= B breaks the pigeonhole guarantee and must refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simsearch.lsh_topk_banded(spark, path, q, n_bands=8, max_hamming=8)
+
+
+def test_pq_trained_codebook_end_to_end(spark, tmp_path):
+    # the production path: pq_train on a seeded sample → pq_write →
+    # pq_topk_indexed, pinned against the inline form AND against brute
+    # force recall (trained codebooks must beat the LCG default)
+    import numpy as np
+
+    emb = _emb_table(spark).filter("vec_id != 0")
+    q = [
+        float(x)
+        for x in _emb_table(spark).filter("vec_id = 0").first()["embedding"]
+    ]
+    sample = np.array(
+        [list(r["embedding"]) for r in emb.limit(300).collect()], dtype=np.float64
+    )
+    cb = simsearch.pq_train(sample, m=8, n_codes=16, seed=7)
+    path = str(tmp_path / "pqtrained")
+    simsearch.pq_write(emb, path, codebook=cb)
+    indexed = simsearch.pq_topk_indexed(spark, path, q, k=10, codebook=cb)
+    inline = simsearch.pq_topk(emb, q, k=10, codebook=cb)
+    got = [tuple(r) for r in indexed.collect()]
+    # write-time vs read-time encode/ADC agree on the trained codebook
+    assert got == [tuple(r) for r in inline.collect()]
+    exact = {r["vec_id"] for r in simsearch.brute_force_topk(emb, q, k=10).collect()}
+    recall_trained = len({v for v, _ in got} & exact) / 10
+    lcg = {
+        r["vec_id"] for r in simsearch.pq_topk(emb, q, k=10).collect()
+    }
+    recall_lcg = len(lcg & exact) / 10
+    assert recall_trained >= recall_lcg  # receipt: trained >= LCG
+    assert recall_trained >= 0.5  # and genuinely useful at refine=10
+
+
 def test_sign_bits_py_matches_column_form(spark):
     emb = _embeddings(spark)
     rows = emb.select(
@@ -217,6 +296,44 @@ def test_simhash_kernel_and_relational_agree_on_pairs(spark):
         ).collect()
         ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
         assert ham[(1, 2)] == 0, f"use_kernel={use_kernel}"
+
+
+def test_simhash_hot_bucket_join_input_is_bounded(spark):
+    # 200 byte-identical docs = ONE distinct signature: the segment
+    # self-join's input must be n_distinct_sigs × n_segments rows, not
+    # n_docs × n_segments — the skewed-bucket guard
+    rows = [(i, "the exact same duplicated body text here") for i in range(200)]
+    rows += [(1000, "a totally different unique document"), (1001, "and one more")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.simhash_signatures_kernel(docs)
+    usig = sigs.select("simhash").distinct()
+    n_sigs = usig.count()
+    assert n_sigs == 3
+    seg_rows = dedup.simhash_segment_table(usig, max_hamming=3).count()
+    assert seg_rows == n_sigs * 4  # bounded by DISTINCT sigs
+    # ...and the full operator still emits every identical pair (the
+    # output is genuinely quadratic there: C(200,2) hamming-0 pairs)
+    out = dedup.simhash_near_duplicates(docs, max_hamming=3)
+    n_same = out.filter("hamming = 0 and doc_a < 200 and doc_b < 200").count()
+    assert n_same == 200 * 199 // 2
+
+
+def test_simhash_bucket_cap_and_audit(spark):
+    # distinct-but-near signatures concentrated on shared segments: the
+    # cap drops hot buckets, the audit view reports exactly them
+    rows = [(i, f"shared boilerplate prefix tail{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.simhash_near_duplicates(docs, max_hamming=3)
+    capped = dedup.simhash_near_duplicates(docs, max_hamming=3, max_bucket_size=1)
+    # capping never invents pairs; hamming-0 (same-sig) pairs are never
+    # capped (they bypass the segment join entirely)
+    upairs = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cpairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert cpairs <= upairs
+    audit = dedup.hot_simhash_buckets(docs, max_bucket_size=1)
+    assert audit.columns == ["seg", "val", "n_sigs"]
+    # every audited bucket really holds >1 distinct signature
+    assert all(r["n_sigs"] > 1 for r in audit.collect())
 
 
 def test_simhash_kernel_contract_matches_relational(spark):

@@ -279,16 +279,17 @@ def test_decontaminate_removes_only_colliding_docs(spark):
 
 
 def test_decontaminate_anti_join_is_broadcast(spark):
+    # the anti-join side carries NO forced hint (a pathological flag
+    # rate must be allowed to degrade to a shuffled anti-join instead of
+    # OOMing the driver) — AQE converts the tiny flagged list to a
+    # broadcast at RUNTIME, so assert the final adaptive plan
     eval_docs = _docs(spark, [(100, "a b c d e f g h")])
     corpus = _docs(spark, [(1, "x y z"), (2, "a b c d e f g h i")])
-    plan = (
-        decontam.decontaminate(corpus, eval_docs, n=8)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    out = decontam.decontaminate(corpus, eval_docs, n=8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
 
 
 def test_gopher_filter_rules_and_reasons(spark):
@@ -357,3 +358,76 @@ def test_normalize_unicode_composes_and_flags(spark):
         textstats.normalize_unicode(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ── NFC ∘ dedup composition ────────────────────────────────────────────
+def test_nfc_dedup_requires_normalization(spark):
+    from barks_ocr_spark.operators import dedup
+
+    # composed é vs decomposed e+U+0301: identical rendering, different
+    # bytes — canonical_text strips the non-ASCII chars ASYMMETRICALLY
+    # ('caf' vs 'cafe'), so exact dedup misses the pair without NFC
+    rows = [(1, "same body caf\u00e9"), (2, "same body cafe\u0301")]
+    docs = _docs(spark, rows)
+    assert dedup.exact_duplicates(docs).count() == 0
+    normed = textstats.normalize_unicode(docs).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    groups = dedup.exact_duplicates(normed).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["doc_ids"] == [1, 2]
+
+
+# ── clean_corpus pipeline lineage ──────────────────────────────────────
+_CLEAN_BODY = (
+    "the quick brown fox jumps over a lazy dog near the riverbank "
+    "while birds sing softly above"
+)
+
+
+def test_clean_corpus_lineage_counters(spark, tmp_path):
+    from barks_ocr_spark.operators import pipeline
+
+    corpus = spark.createDataFrame(
+        [
+            (1, _CLEAN_BODY, "src0"),                              # clean, kept
+            (2, "x x x x x x x x x x", "src0"),                    # gated out
+            (3, _CLEAN_BODY + " alpha beta gamma end", "src0"),    # contaminated
+            (4, "mail someone@example.com and " + _CLEAN_BODY, "src1"),  # scrubbed
+        ],
+        "doc_id long, text string, source string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "contains alpha beta gamma inside")],
+        "doc_id long, text string",
+    )
+    sink = str(tmp_path / "lineage")
+    manifest, lineage = pipeline.clean_corpus_with_lineage(
+        corpus,
+        eval_docs,
+        n=3,
+        budget_tokens=10_000,
+        min_words=5,
+        min_mean_word_len=1.0,
+        lineage_path=sink,
+    )
+    rows = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in lineage.collect()}
+    assert rows == {
+        "gopher_gate": (4, 3),      # doc 2 dropped (repetition)
+        "pii_scrub": (3, 3),        # row-preserving projection
+        "decontaminate": (3, 2),    # doc 3 dropped (eval trigram)
+        "budget_sample": (2, 2),    # budget way above corpus size
+    }
+    assert sorted(r["doc_id"] for r in manifest.collect()) == [1, 4]
+    # the sink accumulates an audit trail across runs
+    assert spark.read.parquet(sink).count() == 4
+    pipeline.clean_corpus_with_lineage(
+        corpus,
+        eval_docs,
+        n=3,
+        budget_tokens=10_000,
+        min_words=5,
+        min_mean_word_len=1.0,
+        lineage_path=sink,
+    )
+    assert spark.read.parquet(sink).count() == 8

@@ -288,7 +288,9 @@ def test_hygiene_projections_compose_with_streaming(spark, tmp_path):
         {
             "doc_id": [1, 2, 3],
             "text": [
-                "mail me at who@example.com now",
+                # long enough that the bigram-repetition ceiling (top
+                # frac > 0.2 needs < 5 distinct bigrams) doesn't fire
+                "please mail me at who@example.com sometime later today thanks",
                 "the and of to in a is it plain english text",
                 "x x x x x x x x",
             ],
@@ -300,9 +302,23 @@ def test_hygiene_projections_compose_with_streaming(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
+    def gated_scrub(df):
+        # the batch hygiene composition (gate → scrub) verbatim on a
+        # streaming source: gopher_filter's JVM signals + repetition
+        # kernel and the PII regex chain are all stateless projections
+        return textstats.pii_redact(
+            textstats.gopher_filter(
+                df, min_words=5, min_mean_word_len=1.0, passthrough=("text",)
+            ).filter("keep"),
+        )
+
     for qname, op in (
         ("piistream", textstats.pii_redact),
         ("repstream", textstats.repetition_scores),
+        ("gatestream", lambda df: textstats.gopher_filter(
+            df, min_words=5, min_mean_word_len=1.0
+        )),
+        ("cleanstream", gated_scrub),
     ):
         q = (
             op(stream)
@@ -319,3 +335,11 @@ def test_hygiene_projections_compose_with_streaming(spark, tmp_path):
     assert pii[1]["n_emails"] == 1 and "[EMAIL]" in pii[1]["text_redacted"]
     assert pii[2]["n_emails"] == 0
     assert rep[3]["top_unigram_frac"] == 1.0
+    gate = {r["doc_id"]: r for r in spark.sql("select * from gatestream").collect()}
+    # doc 3 is pure repetition → repeated_bigrams fires on the stream
+    # exactly as in batch; doc 2 is plain english and passes
+    assert gate[2]["keep"] is True
+    assert gate[3]["keep"] is False and "repeated" in gate[3]["failed"]
+    clean = {r["doc_id"]: r for r in spark.sql("select * from cleanstream").collect()}
+    assert 3 not in clean  # gated out BEFORE the scrub, stream-side
+    assert "[EMAIL]" in clean[1]["text_redacted"]

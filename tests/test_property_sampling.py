@@ -22,7 +22,9 @@ from barks_ocr_spark.operators import sampling
 _rows = st.lists(
     st.tuples(
         st.integers(0, 60),          # doc_id
-        st.sampled_from(["g0", "g1", "g2"]),
+        # None: a NULL group is a real partition and must keep its
+        # budget/cap (the bucket join is null-safe)
+        st.sampled_from(["g0", "g1", "g2", None]),
         st.integers(0, 9),           # token count (0 allowed)
     ),
     min_size=0,
@@ -32,10 +34,13 @@ _rows = st.lists(
 
 
 def _md5_order(rows):
+    # cross-group order is irrelevant to the selection (budgets are per
+    # group); sort NULL groups first for a total order
     return sorted(
         rows,
         key=lambda r: (
-            r[1],
+            r[1] is not None,
+            r[1] or "",
             hashlib.md5(str(r[0]).encode()).hexdigest(),
             r[0],
         ),
