@@ -652,3 +652,106 @@ def remove_repeated_chunks(
             .alias("n_removed"),
         )
     )
+
+
+def fingerprint_index_write(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the corpus fingerprint index for INCREMENTAL dedup:
+    the distinct md5-of-canonical-text set, stored as a catalog table
+    BUCKETED AND SORTED BY fp (sources/bucketed.py). The bucket layout
+    is the whole point — every later :func:`dedup_increment` anti-join
+    reads co-located, pre-sorted buckets and plans with NO Exchange on
+    this (corpus-sized) side; only the small increment ever shuffles.
+    Store cost is one 32-hex row per distinct document."""
+    from barks_ocr_spark.sources import bucketed
+
+    fps = docs.select(
+        F.md5(canonical_text(F.col(text_col))).alias("fp")
+    ).distinct()
+    bucketed.write_bucketed(fps, table, "fp", num_buckets, sort_col="fp")
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the daily-crawl ingest path. Returns
+    the rows of ``new_docs`` that are genuinely new against everything
+    already ingested (:func:`fingerprint_index_write`):
+
+    - LEFT ANTI on fingerprint against the index (drop docs the corpus
+      already holds), and
+    - md5-rank-first exemplar per fingerprint WITHIN the increment
+      (intra-batch dedup; same deterministic selection rule as every
+      sampler in operators/sampling.py, so retries and re-runs pick the
+      identical survivor).
+
+    100 TB shape: re-running exact_duplicates over corpus ∪ increment
+    would re-shuffle the whole corpus for every daily batch. Here the
+    corpus side is a bucketed+sorted catalog table, so the anti-join is
+    a sort-merge against static co-located buckets — the index side has
+    NO Exchange and NO Sort (pinned by
+    test_dedup_increment_index_side_is_exchange_free); the increment
+    (small by definition) shuffles into the bucket layout. The
+    intra-batch window partitions by fingerprint — group sizes are
+    duplicate multiplicities inside one batch, never corpus-sized.
+    After ingesting the survivors, append their fingerprints back with
+    :func:`fingerprint_index_append` so tomorrow's run stays
+    exchange-free too.
+    """
+    from pyspark.sql.window import Window
+
+    from barks_ocr_spark.sources import bucketed
+
+    spark = new_docs.sparkSession
+    table = (
+        index_table
+        if "." in index_table
+        else f"{bucketed.BUCKETED_DB}.{index_table}"
+    )
+    fps = new_docs.withColumn(
+        "fp", F.md5(canonical_text(F.col(text_col)))
+    )
+    alive = fps.join(spark.table(table), "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        alive.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def fingerprint_index_append(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> None:
+    """Append ``docs``' distinct fingerprints to an existing index table
+    (same bucket spec as :func:`fingerprint_index_write`, bucketBy
+    append write — Spark co-locates the new files into the existing
+    bucket layout, so the index never needs a rewrite). Call with the
+    SURVIVORS of :func:`dedup_increment` after each batch commits."""
+    from barks_ocr_spark.sources import bucketed
+
+    spark = docs.sparkSession
+    qualified = (
+        table if "." in table else f"{bucketed.BUCKETED_DB}.{table}"
+    )
+    (
+        docs.select(F.md5(canonical_text(F.col(text_col))).alias("fp"))
+        .distinct()
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(num_buckets, "fp")
+        .sortBy("fp")
+        .saveAsTable(qualified)
+    )

@@ -298,3 +298,121 @@ def rate_sample(
         ).otherwise(rate_expr)
     key = F.lpad(F.substring(_rank_key(id_col), 1, 4), 5, "0")
     return df.filter(key < rate_expr)
+
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    max_levels: int = 4,
+) -> DataFrame:
+    """Keep EXACTLY ``floor(keep_frac * n)`` rows with the highest score
+    — the "top p% by quality" corpus cut, made exact and deterministic.
+    The selection order is (score DESC, md5(id), id): ties at the
+    threshold are broken by the same md5 rank key every other sampler in
+    this module uses, so the kept set is a pure function of the data —
+    stable across runs, retries, partitionings, and engines (a DuckDB
+    ``row_number() OVER (ORDER BY score DESC, md5(id), id)`` replays it
+    byte-for-byte). Rows with a NULL score are excluded from both n and
+    the output (a doc that never got scored cannot be in the top p%);
+    NaN scores are the caller's to filter first — NaN's rank order
+    differs between engines, so no deterministic contract can include
+    it.
+
+    Scale shape — no global sort, ever. A naive
+    ``row_number().over(orderBy(score))`` funnels the entire corpus
+    through ONE task (the same shape as the r4 budget_sample
+    scale-killer, but corpus-sized instead of group-sized). Instead the
+    exact k-th-largest score t is found by iterative histogram
+    refinement: each level buckets the current value range into
+    ``n_buckets`` fixed-width cells with a per-cell (count, min, max)
+    hash aggregate — map-side combined, ``n_buckets`` rows to the
+    driver — then descends into the cell containing rank k. Two exits:
+
+    - the boundary cell collapses to a single distinct value (min ==
+      max; ALWAYS the exit for heavily tied scores): t is known with no
+      sort at all, and the rows TIED at t go through
+      :func:`cap_per_group`'s two-phase take-n (md5-ordered, input
+      ~need-proportional);
+    - after ``max_levels`` the surviving sliver spans <
+      range/n_buckets^max_levels (10^12 resolution at the defaults) —
+      that sliver is window-ranked in one task, and its expected size is
+      n / n_buckets^max_levels (≈ 1 row even at 10^12 input).
+
+    Driver actions: one count, one min/max aggregate, ≤ max_levels
+    n_buckets-row collects — all on a monotonically shrinking,
+    pushdown-friendly filter chain. Everything else is plain filters."""
+    score = F.col(score_col)
+    sdf = df.filter(score.isNotNull())
+    n = sdf.count()
+    # floor(n * keep_frac) with a 1e-9 nudge so a product that is exactly
+    # integral in decimal (n=10, frac=0.3 → 3) doesn't floor to 2 via
+    # binary float (10*0.3 = 2.999…96) — the SQL oracle floors the exact
+    # decimal product
+    k = int(n * keep_frac + 1e-9)
+    if k <= 0:
+        return sdf.limit(0)
+    if k >= n:
+        return sdf
+    bounds = sdf.agg(
+        F.min(score).alias("lo"), F.max(score).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    t = None
+    n_above = 0  # exact count of rows with score strictly > current range top
+    cur = sdf
+    for _ in range(max_levels):
+        if lo == hi:
+            t = lo
+            break
+        width = (hi - lo) / n_buckets
+        cell = F.greatest(
+            F.least(
+                F.floor((score - F.lit(lo)) / F.lit(width)),
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
+        )
+        cells = sorted(
+            cur.groupBy(cell.alias("_qc"))
+            .agg(
+                F.count("*").alias("_n"),
+                F.min(score).alias("_lo"),
+                F.max(score).alias("_hi"),
+            )
+            .collect(),
+            key=lambda r: r["_qc"],
+            reverse=True,
+        )
+        cum = 0
+        boundary = None
+        for r in cells:
+            if n_above + cum + r["_n"] >= k:
+                boundary = r
+                break
+            cum += r["_n"]
+        n_above += cum
+        if boundary["_lo"] == boundary["_hi"]:
+            t = boundary["_lo"]
+            break
+        lo, hi = boundary["_lo"], boundary["_hi"]
+        cur = cur.filter((score >= F.lit(lo)) & (score <= F.lit(hi)))
+    if t is not None:
+        above = sdf.filter(score > F.lit(t))
+        need_t = k - n_above
+        if need_t <= 0:
+            return above
+        tied = sdf.filter(score == F.lit(t)).withColumn("_qg", F.lit(0))
+        kept_tied = cap_per_group(tied, "_qg", need_t, id_col).drop("_qg")
+        return above.unionByName(kept_tied)
+    # max_levels exhausted: rank the residual sliver (expected ~1 row;
+    # its one-task window is the documented bound, not the corpus)
+    w = Window.orderBy(score.desc(), _rank_key(id_col), F.col(id_col))
+    sliver_kept = (
+        cur.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= k - n_above)
+        .drop("_qrn")
+    )
+    return sdf.filter(score > F.lit(hi)).unionByName(sliver_kept)

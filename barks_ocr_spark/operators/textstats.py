@@ -455,3 +455,66 @@ def normalize_unicode(
         normed.alias("text_norm"),
         F.coalesce(normed != F.col(text_col), F.lit(False)).alias("changed"),
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line-level page cleaning (the public C4/T5 heuristics:
+    keep a line only if it reads like prose). A line survives iff:
+
+    - its trimmed form ends in terminal punctuation (. ! ? or a closing
+      double quote) — the "ended in a terminal punctuation mark" rule;
+    - it has at least ``min_words`` whitespace-separated words;
+    - it does not contain "javascript" / "lorem ipsum"
+      (case-insensitive) or a curly brace — the boilerplate/code tells.
+
+    Output per doc: the cleaned text (surviving lines re-joined with
+    newlines), n_lines / n_kept counters, the sentence count of the
+    cleaned text (terminal-punct occurrences), and ``keep_doc`` — the
+    page-level verdict (≥ 1 surviving line and ≥ ``min_sentences``
+    sentences). The doc row is always emitted; composing pipelines
+    filter on ``keep_doc`` (same flag-don't-drop contract as
+    ``gopher_filter``). A NULL text yields ('', 0, 0, 0, false).
+
+    Scale shape: one projection — split / lambda-filter / re-join are
+    all JVM array expressions inside whole-stage codegen; zero shuffle,
+    zero Python. Line predicates are evaluated once per line (the
+    lambda binds the trimmed element, no re-inlining trap)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    lines = F.when(F.coalesce(F.col(text_col), F.lit("")) == "", F.array().cast("array<string>")).otherwise(lines)
+
+    def line_ok(l: Column) -> Column:
+        lt = F.trim(l)
+        low = F.lower(lt)
+        ends = (
+            lt.endswith(".")
+            | lt.endswith("!")
+            | lt.endswith("?")
+            | lt.endswith('"')
+        )
+        enough = F.size(F.split(lt, r"\s+")) >= min_words
+        clean = (
+            ~low.contains("javascript")
+            & ~low.contains("lorem ipsum")
+            & ~lt.contains("{")
+            & ~lt.contains("}")
+        )
+        return ends & enough & clean
+
+    kept = F.filter(lines, line_ok)
+    clean_text = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean_text, F.lit(r"[.!?]"), 0))
+    return docs.select(
+        "doc_id",
+        clean_text.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        (
+            (F.size(kept) >= 1) & (n_sent >= F.lit(min_sentences))
+        ).alias("keep_doc"),
+    )

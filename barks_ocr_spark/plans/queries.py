@@ -1018,6 +1018,70 @@ WHERE n_docs > 1
 """
 )
 
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (the daily-crawl ingest path): even-id
+    docs are "yesterday's corpus" — their fingerprint index is written
+    as a bucketed catalog table — and the increment is the odd-id docs
+    PLUS planted collisions (copies of every 10th even doc → must die to
+    the index; copies of odd docs ≡3 mod 7 → must die to the intra-batch
+    exemplar rule). Survivors keep the full document schema. The index
+    side of the anti-join plans with no Exchange (bucket layout,
+    pinned by test_dedup_increment_index_side_is_exchange_free)."""
+    from barks_ocr_spark.sources import bucketed
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(*cols)
+        .unionAll(
+            old.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), *cols[1:]
+            )
+        )
+        .unionAll(
+            docs.filter(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 == 3)
+            ).select((F.col("doc_id") + 3_000_000).alias("doc_id"), *cols[1:])
+        )
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = f"bk_fp_index_{sf_tag}"
+    bucketed.sweep_orphans(base)
+    t = bucketed.session_table(base)
+    dedup.fingerprint_index_write(old, t)
+    return dedup.dedup_increment(inc, t)
+
+
+_SQL_DEDUP_INCREMENT = f"""
+WITH old AS (
+  SELECT DISTINCT md5({_CANON_SQL}) AS fp FROM documents WHERE doc_id % 2 = 0
+), inc AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         md5({_CANON_SQL}) AS fp
+  FROM (
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 3
+  )
+), alive AS (
+  SELECT * FROM inc i
+  WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = i.fp)
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM alive
+QUALIFY row_number() OVER (
+  PARTITION BY fp ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) = 1
+"""
+
+
 _SQL_SHINGLES_CTE = (
     _SQL_DOUBLED_CTE
     + f"""
@@ -2084,6 +2148,32 @@ def q_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _index_dir(sf_dir, "pq")
     simsearch.pq_write(emb, path)
     return simsearch.pq_topk_indexed(spark, path, _query_vec(spark, sf_dir), k=10)
+
+
+def q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ path end-to-end: pq_train (per-subspace Lloyd
+    k-means on a deterministic 300-vector sample) → pq_write with the
+    trained codebook → pq_topk_indexed. K-means is not SQL-expressible,
+    so this entry carries no DuckDB oracle (rows-only driver check);
+    exact write/read agreement and the trained codebook's recall edge
+    over the LCG default are pinned by
+    test_pq_trained_codebook_end_to_end."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    sample = np.array(
+        [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") <= 300).orderBy("vec_id").collect()
+        ],
+        dtype=np.float64,
+    )
+    cb = simsearch.pq_train(sample, m=8, n_codes=16, seed=7)
+    path = _index_dir(sf_dir, "pqtrained")
+    simsearch.pq_write(emb, path, codebook=cb)
+    return simsearch.pq_topk_indexed(
+        spark, path, _query_vec(spark, sf_dir), k=10, codebook=cb
+    )
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3371,6 +3461,90 @@ FROM c WHERE cum - n_tokens < 600
 """
 
 
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25% of documents by n_chars (ties md5-broken) — the
+    "keep the best p% by score" corpus cut. An integer score guarantees
+    heavy ties, so the histogram refinement exits through its
+    single-value shortcut and the tie set exercises cap_per_group's
+    two-phase take-n."""
+    from barks_ocr_spark.operators import sampling
+
+    return sampling.quantile_filter(
+        load(spark, sf_dir, "documents"), "n_chars", 0.25
+    )
+
+
+_SQL_QUANTILE_FILTER = """
+WITH nn AS (SELECT CAST(floor(count(*) * 0.25) AS BIGINT) AS k
+            FROM documents WHERE n_chars IS NOT NULL)
+SELECT doc_id, text, lang, source, n_chars
+FROM documents, nn
+WHERE n_chars IS NOT NULL
+QUALIFY row_number() OVER (
+  ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= k
+"""
+
+
+def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning over the documents table: per doc,
+    the prose-surviving lines re-joined, line/sentence counters, and the
+    page-level keep verdict. The synthetic corpus is single-line
+    unpunctuated text, so the query PLANTS line structure first (the
+    issue-plant pattern): every ' join ' becomes a sentence break, and
+    the doc gains a final period — line lengths then vary enough to
+    exercise every predicate (short lines die on min_words, long ones
+    survive, sentence counts straddle the ≥3 verdict)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" join "), F.lit(".\nthen ")),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return textstats.c4_line_filter(docs)
+
+
+_SQL_C4_LINES = """
+WITH d AS (
+  SELECT doc_id,
+    replace(text, ' join ', '.' || chr(10) || 'then ') || '.' AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+    CASE WHEN COALESCE(text, '') = '' THEN []::VARCHAR[]
+         ELSE string_split(COALESCE(text, ''), chr(10)) END AS lines
+  FROM d
+), k AS (
+  SELECT doc_id, lines,
+    list_filter(lines, x ->
+      (suffix(trim(x), '.') OR suffix(trim(x), '!')
+       OR suffix(trim(x), '?') OR suffix(trim(x), '"'))
+      AND len(string_split_regex(trim(x), '\\s+')) >= 5
+      AND NOT contains(lower(trim(x)), 'javascript')
+      AND NOT contains(lower(trim(x)), 'lorem ipsum')
+      AND NOT contains(trim(x), '{')
+      AND NOT contains(trim(x), '}')
+    ) AS kept
+  FROM l
+), j AS (
+  SELECT doc_id, lines, kept,
+    list_aggregate(kept, 'string_agg', chr(10)) AS joined
+  FROM k
+)
+SELECT doc_id,
+  COALESCE(joined, '') AS clean_text,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(len(regexp_extract_all(COALESCE(joined, ''), '[.!?]')) AS BIGINT)
+    AS n_sentences,
+  len(kept) >= 1
+    AND len(regexp_extract_all(COALESCE(joined, ''), '[.!?]')) >= 3
+    AS keep_doc
+FROM j
+"""
+
+
 # ════════════════════════════════════════════════════════════════════════
 # Registry
 # ════════════════════════════════════════════════════════════════════════
@@ -3417,6 +3591,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "nfc_dedup": (q_nfc_dedup, _SQL_NFC_DEDUP),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "budget_sample": (q_budget_sample, _SQL_BUDGET_SAMPLE),
+    "quantile_filter": (q_quantile_filter, _SQL_QUANTILE_FILTER),
+    "c4_lines": (q_c4_lines, _SQL_C4_LINES),
+    "dedup_increment": (q_dedup_increment, _SQL_DEDUP_INCREMENT),
     "exact_duplicates": (q_exact_duplicates, _SQL_EXACT_DUPS),
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
     "dup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
@@ -3435,6 +3612,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ivf_topk_indexed": (q_ivf_topk_indexed, _SQL_IVF_TOPK),
     "pq_topk": (q_pq_topk, _SQL_PQ_TOPK),
     "pq_topk_indexed": (q_pq_topk_indexed, _SQL_PQ_TOPK),
+    "pq_topk_trained": (q_pq_topk_trained, None),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "extract_spans": (q_extract_spans, _SQL_EXTRACT_SPANS),

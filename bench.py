@@ -52,6 +52,10 @@ HEADLINE = [
     "nfc_dedup",
     "lsh_topk_banded",
     "pq_topk_indexed",
+    # round 6b: exact top-p% cut, C4 line cleaning, incremental dedup
+    "quantile_filter",
+    "c4_lines",
+    "dedup_increment",
 ]
 
 
@@ -234,13 +238,19 @@ def _extraction_throughput(n_cores: int, docs_path: str, n_docs: int) -> dict:
 
 
 def run_scaling(
-    n_docs: int = 60_000, replicate: int = 40, low: int = 8, high: int = 32
+    n_docs: int = 60_000, replicate: int = 120, low: int = 8, high: int = 32
 ) -> None:
-    """Sized so the local[32] run takes ≥15s and local[8] ≥40s: fixed
-    per-job overheads (session, broadcast, pass-1 aggregate, Arrow init)
-    must be noise relative to kernel time or the efficiency number
-    measures overhead, not scaling. Override the corpus with
-    SPARK_GRAFT_SCALING_REPLICATE (units of 60k docs)."""
+    """Sized so fixed per-job costs are NOISE, not signal: the job
+    carries ~2-3 s of corpus-size-independent work per action (the
+    pass-1 aggregate/TakeOrdered/collect tail, session actions, stage
+    scheduling) — measured by the round-6 pass-1 decomposition
+    (BENCH/PROFILE.md §7). At 2.4M docs that
+    fixed tail is ~20% of the 32-core wall and caps measurable
+    efficiency near 0.65 no matter how well the scan scales; at 7.2M
+    docs (the default) it is a few percent, so the ratio measures the
+    ENGINE. This mirrors the real question — a 100 TB job's fixed costs
+    are invisible — and is why the corpus is 3× bigger since round 6.
+    Override with SPARK_GRAFT_SCALING_REPLICATE (units of 60k docs)."""
     replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", replicate))
     import pandas as pd  # noqa: F401
 
@@ -255,20 +265,37 @@ def run_scaling(
     total_docs = n_docs * replicate
     docs_path = f"/tmp/bench_docs_{total_docs}"
     if not Path(docs_path, "_SUCCESS").exists():
-        spark = get_spark("bench-datagen", master="local[32]")
+        # 32 threads replicating a pandas-origin frame 40x overflow the
+        # default 8g heap (GC-overhead OOM on a loaded host); datagen is
+        # a one-off, give it room.
+        spark = get_spark(
+            "bench-datagen",
+            master="local[32]",
+            extra_conf={"spark.driver.memory": "24g"},
+        )
         spark.sparkContext.setLogLevel("ERROR")
         pdf = dg.gen_documents(n_docs, seed=42)
         base = spark.createDataFrame(pdf, schema=DOCUMENTS_SPANS_SCHEMA)
         # replicate with distinct doc_ids (deterministic): corpus scale
-        # without a 10x slower pandas datagen loop
-        out = base
-        for r in range(1, replicate):
-            out = out.unionAll(
-                base.select(
-                    F.concat(F.lit(f"r{r}_"), F.col("doc_id")).alias("doc_id"),
-                    "spans",
+        # without a 10x slower pandas datagen loop. Materialize the base
+        # ONCE and replicate via explode over the scan — a replicate-way
+        # unionAll of a createDataFrame LocalRelation embeds the 60k-doc
+        # payload in the plan once PER BRANCH and OOMs the driver at
+        # replicate ≥ ~100 (measured: GC-overhead death at 120).
+        base_path = f"{docs_path}_base"
+        base.write.mode("overwrite").parquet(base_path)
+        b = spark.read.parquet(base_path)
+        r = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("_r")
+        out = b.select("doc_id", "spans", r).select(
+            F.when(F.col("_r") == 0, F.col("doc_id"))
+            .otherwise(
+                F.concat(
+                    F.lit("r"), F.col("_r").cast("string"), F.lit("_"), F.col("doc_id")
                 )
             )
+            .alias("doc_id"),
+            "spans",
+        )
         out.repartition(256).write.mode("overwrite").parquet(docs_path)
         spark.stop()
     n_docs = total_docs
@@ -344,6 +371,36 @@ def run_scaling(
         if c in kcurve
     )
 
+    # aggregate DRAM-bandwidth curve, same run (scripts/membw_probe.py):
+    # the host resource a memory-bound stage is bounded by, which the
+    # cache-resident compute kernel cannot see
+    mbw: dict[int, float] = {}
+    for c in levels:
+        try:
+            mo = subprocess.run(
+                [
+                    sys.executable,
+                    str(REPO / "scripts" / "membw_probe.py"),
+                    str(c),
+                    "2",
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+                timeout=120,
+            )
+            mbw[c] = json.loads(mo.stdout.strip())["gbytes_per_sec"]
+        except Exception:  # noqa: BLE001 - context metric, never fails the run
+            pass
+    mbw_rows = "\n".join(
+        f"| {c} | {mbw[c]} |" for c in levels if c in mbw
+    )
+    mbw_eff = (
+        round((mbw[high] / mbw[low]) / ratio, 2)
+        if low in mbw and high in mbw
+        else None
+    )
+
     curve_rows = "\n".join(
         f"| {c} | {tput[c]:.0f} | {tput[c] / c:.0f} | {walls[c]} |" for c in levels
     )
@@ -401,24 +458,39 @@ The same extraction kernel as isolated OS processes
 |---|---|---|
 {kernel_rows}
 
-A stage-level decomposition of where the below-ceiling loss goes —
-with direction-isolated IPC probes, GC/heap/batch-size/file-count
-A/Bs, and the negative results that pin the shipped config as the
-job-level optimum — is in [PROFILE.md](PROFILE.md).
-
 Bare-kernel {low}→{high} efficiency: **{keff}**.
 **Ceiling-normalized job efficiency: {eff} / {keff} = {round(eff / keff, 2)}** —
-the share of this box's achievable scaling the Spark job retains; on a
-real N→4N executor scale-up (per-node memory buses, no shared-host
-neighbors) the bare-kernel ceiling is ~1.0 and the job's efficiency is
-bounded by this ratio, not by this box's DRAM curve. Even pure compute
-loses per-process throughput as processes grow on this shared box
-(DRAM bandwidth / host neighbors) — a ceiling that does not exist on a
-real N→4N *executor* scale-up where each added node brings its own
-memory buses and page cache. Read the job's efficiency against this
-bare-metal curve before attributing loss to the engine; the remaining
-job-vs-kernel gap is JVM-side scan/serialize work, which lives on the
-executor and also multiplies across real nodes.
+the share of this box's achievable compute scaling the Spark job
+retains. On a loaded host (noisy co-tenants) this kernel curve drops
+well below 1.0 and is the right denominator; on a quiet host it is ~1.0
+and the raw number stands on its own.
+
+## Aggregate DRAM bandwidth (same run, scripts/membw_probe.py)
+
+Streaming-copy bandwidth of N isolated processes over 256 MB arrays —
+the host resource a memory-bound stage is bounded by, which the
+cache-resident compute kernel cannot see:
+
+| procs | GB/s (read+write) |
+|---|---|
+{mbw_rows}
+
+Bandwidth {low}→{high} scaling: **{mbw_eff}**. When this is ~1.0 the
+box's memory system genuinely multiplies with the process count and the
+job's raw efficiency is attributable to the engine stack; when it
+collapses, memory-bound stages are host-capped and the raw number
+understates the engine.
+
+A stage-level decomposition of where below-ceiling loss goes — with
+direction-isolated IPC probes, GC/heap/batch-size/file-count A/Bs, and
+the negative results that pin the shipped config as the job-level
+optimum — is in [PROFILE.md](PROFILE.md). Round 6 additionally removed
+the pass-1 distinct-expand (countDistinct → count over the kernel's
+already-distinct pairs: 4.0 s → 2.6 s for pass 1 at 32 cores) and
+re-verified the batch-size/heap A/B on a quiet host (old config still
+wins 2/2 order-alternated: 11.4/15.4 s vs 19.7/30.4 s at 32 cores —
+the 2048-row batch advantage is kernel cache locality, not a
+contention artifact).
 """
     (bench_dir / "BASELINE.md").write_text(report)
     print(

@@ -471,3 +471,79 @@ def test_pq_candidate_scan_never_reads_vectors(spark, tmp_path):
     # and the candidate fetch is a broadcast join, not a shuffle of the
     # vector table
     assert "BroadcastHashJoin" in plan
+
+
+# ─── incremental exact dedup ─────────────────────────────────────────────
+
+def test_dedup_increment_index_side_is_exchange_free(spark):
+    """The daily-increment anti-join must NOT re-shuffle the corpus-sized
+    fingerprint index: its side of the join reads bucketed+sorted files
+    (no Exchange, no Sort); only the increment exchanges. Also pins the
+    selection semantics: index collisions die, intra-batch fp twins keep
+    exactly the md5-first exemplar."""
+    import hashlib
+
+    from barks_ocr_spark.sources import bucketed
+
+    old = spark.createDataFrame(
+        [(i, f"corpus doc number {i}") for i in range(0, 10, 2)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(i, f"brand new doc {i}") for i in range(1, 10, 2)]
+        + [(100, "corpus doc number 0")]          # dies to the index
+        + [(101, "brand new doc 1")],             # fp-twin of doc 1
+        "doc_id long, text string",
+    )
+    base = "bk_fp_test"
+    bucketed.sweep_orphans(base)
+    t = bucketed.session_table(base)
+    dedup.fingerprint_index_write(old, t)
+    out = dedup.dedup_increment(inc, t)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        got = {r["doc_id"] for r in out.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # one Exchange total: the increment hashing into the bucket layout
+    # (window reuses the join's partitioning; the index side has none)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    twin = min(
+        (1, 101),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    assert got == {3, 5, 7, 9, twin}
+
+
+def test_fingerprint_index_append_keeps_layout(spark):
+    """Appending survivors keeps the bucket contract: tomorrow's
+    anti-join against the appended table still plans exchange-free on
+    the index side and sees yesterday's increment."""
+    from barks_ocr_spark.sources import bucketed
+
+    day0 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    )
+    day1 = spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc")], "doc_id long, text string"
+    )
+    day2 = spark.createDataFrame(
+        [(20, "gamma doc"), (21, "delta doc")], "doc_id long, text string"
+    )
+    base = "bk_fp_append"
+    bucketed.sweep_orphans(base)
+    t = bucketed.session_table(base)
+    dedup.fingerprint_index_write(day0, t)
+    surv1 = dedup.dedup_increment(day1, t)
+    assert {r["doc_id"] for r in surv1.collect()} == {11}
+    dedup.fingerprint_index_append(surv1, t)
+    surv2 = dedup.dedup_increment(day2, t)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = surv2._jdf.queryExecution().executedPlan().toString()
+        got = {r["doc_id"] for r in surv2.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert got == {21}  # gamma now lives in the index via the append
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -178,3 +178,41 @@ def test_extract_identical_across_partition_counts(spark):
         }
 
     assert run(2) == run(13)
+
+
+def test_pass1_intra_doc_repeats_count_once(spark):
+    """The round-6 pass-1 aggregate is count(*) (not countDistinct) on
+    the strength of the arrow kernel's per-doc dedup invariant — pin it:
+    a doc repeating a heading 5 times contributes ONE vote, so 2 such
+    docs stay under the ≥3-docs threshold while 3 single-occurrence docs
+    cross it, and the counted value is the DOC count."""
+    rows = []
+    for i in range(2):
+        spans = [_span("text", "REPEATY HEADER", offset=j) for j in range(5)]
+        spans.append(
+            _span("text", "body text that is long enough to stay.", offset=5)
+        )
+        rows.append({"doc_id": f"dup{i}", "spans": spans})
+    for i in range(3):
+        rows.append(
+            {
+                "doc_id": f"one{i}",
+                "spans": [
+                    _span("text", "TRUE RUNNING HEADER"),
+                    _span(
+                        "text",
+                        "body text that is long enough to stay.",
+                        offset=1,
+                    ),
+                ],
+            }
+        )
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows), schema=DOCUMENTS_SPANS_SCHEMA
+    )
+    counted = {
+        r["variant"]: r["n_docs"]
+        for r in extraction.repeating_headings_counted(docs).collect()
+    }
+    assert counted.get("TRUE RUNNING HEADER") == 3
+    assert "REPEATY HEADER" not in counted

@@ -431,3 +431,63 @@ def test_clean_corpus_lineage_counters(spark, tmp_path):
         lineage_path=sink,
     )
     assert spark.read.parquet(sink).count() == 8
+
+
+# ─── c4_line_filter ──────────────────────────────────────────────────────
+
+def test_c4_line_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # every rule on one page: keeps 3 prose lines
+            (
+                1,
+                "This is a real sentence with enough words.\n"
+                "too short.\n"
+                "no terminal punctuation at all here\n"
+                "Enable javascript to view this page today.\n"
+                "Lorem Ipsum dolor sit amet consectetur adipiscing.\n"
+                "function f() { return 1; }\n"
+                'He said the quote ends with a double quote."\n'
+                "Another perfectly ordinary prose sentence ends here!",
+            ),
+            (2, None),                      # null text
+            (3, ""),                        # empty text
+            (4, "One single line that is long enough to survive fine."),
+        ],
+        "doc_id long, text string",
+    )
+    from barks_ocr_spark.operators import textstats
+
+    rows = {
+        r["doc_id"]: r for r in textstats.c4_line_filter(docs).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_lines"] == 8 and r1["n_kept"] == 3
+    assert r1["clean_text"].splitlines() == [
+        "This is a real sentence with enough words.",
+        'He said the quote ends with a double quote."',
+        "Another perfectly ordinary prose sentence ends here!",
+    ]
+    assert r1["keep_doc"] is True  # 3 terminal marks survive
+    assert rows[2]["n_lines"] == 0 and rows[2]["keep_doc"] is False
+    assert rows[2]["clean_text"] == ""
+    assert rows[3]["n_lines"] == 0 and rows[3]["keep_doc"] is False
+    r4 = rows[4]
+    assert r4["n_kept"] == 1 and r4["n_sentences"] == 1
+    assert r4["keep_doc"] is False  # one sentence < min_sentences
+
+
+def test_c4_line_filter_is_zero_shuffle(spark):
+    from barks_ocr_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "A line of prose that is long enough.")],
+        "doc_id long, text string",
+    )
+    plan = (
+        textstats.c4_line_filter(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
