@@ -96,3 +96,125 @@ def kmv_distinct(
         F.lit(float(k - 1)) / (F.col("_hk").cast("double") / F.lit(_HASH_SPACE))
     )
     return per.select(group_col, F.round(est, 6).alias("est_distinct"))
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    capacity: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT top-k words by corpus-wide occurrence count — without ever
+    shuffling the corpus's token stream. Two passes:
+
+    1. Candidate sweep: each Arrow batch computes its exact per-batch
+       word counts (vectorized value_counts over the whitespace tokens
+       of the trimmed, lowercased text) and emits only its top
+       ``capacity`` words. The Misra-Gries-style guarantee composes
+       across any partition of the stream: a word NOT kept by a batch
+       has batch count ≤ N_batch/(capacity+1), so a word missed by
+       EVERY batch has global count ≤ Σ N_batch/(capacity+1) =
+       N/(capacity+1) — every genuinely heavy word survives somewhere.
+       The sweep ships ≤ capacity rows per batch: a few thousand rows
+       from a trillion-token corpus, never a token-level exchange.
+    2. Exact recount: one more scan counts ONLY the candidate set
+       (membership filter inside the per-batch kernel), then a tiny
+       (≤ distinct-candidates) aggregate sums the partials. The driver
+       holds at most 100k candidates (chosen by summed partial count —
+       the heaviest first); truncation tightens the exactness proof
+       instead of silently weakening the answer.
+
+    Exactness is PROVEN at runtime, not assumed: the k-th recounted
+    value must exceed N/(capacity+1) — the ceiling any non-candidate
+    word can reach. A corpus too flat for the proof raises ValueError
+    naming the capacity to raise, instead of silently returning
+    plausible-but-unproven winners. Ties at rank k resolve
+    deterministically by word.
+
+    Returns (word, n_occurrences) ordered by (count desc, word),
+    exactly k rows (fewer only if the corpus has < k distinct words).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    tokens_schema = "word string, partial long"
+
+    def _batch_counts(b: pd.DataFrame) -> pd.Series:
+        texts = b["text"].dropna().astype(str).str.lower().str.strip()
+        words = texts.str.split().explode().dropna()
+        return words.value_counts()
+
+    def _mg_sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            vc = _batch_counts(b).head(capacity)
+            yield pd.DataFrame(
+                {"word": vc.index.astype(str), "partial": vc.to_numpy()}
+            )
+
+    text_only = docs.select(F.col(text_col).alias("text"))
+    # Bounded candidate collect: the per-batch sweeps can union to
+    # capacity × n_batches distinct words on an adversarial corpus — an
+    # unbounded driver collect. Keep the max_candidates words with the
+    # largest SUMMED partial counts (a lower bound of each word's true
+    # count, so the heaviest words sort first); if anything was
+    # truncated, its true-count ceiling (partial sum + the per-batch
+    # miss bound) is folded into the exactness proof below, so
+    # truncation can weaken the proof but never the answer.
+    max_candidates = 100_000
+    cand_rows = (
+        text_only.mapInPandas(_mg_sweep, tokens_schema)
+        .groupBy("word")
+        .agg(F.sum("partial").alias("psum"))
+        .orderBy(F.desc("psum"), "word")
+        .limit(max_candidates + 1)
+        .collect()
+    )
+    truncated_partial_max = 0
+    if len(cand_rows) > max_candidates:
+        truncated_partial_max = cand_rows[-1]["psum"]
+        cand_rows = cand_rows[:max_candidates]
+    cand_set = {r["word"] for r in cand_rows}
+
+    def _recount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            vc = _batch_counts(b)
+            total = int(vc.sum())
+            vc = vc[vc.index.isin(cand_set)]
+            out = pd.DataFrame(
+                {"word": vc.index.astype(str), "partial": vc.to_numpy()}
+            )
+            yield pd.concat(
+                [out, pd.DataFrame({"word": ["\x00total\x00"], "partial": [total]})],
+                ignore_index=True,
+            )
+
+    partials = text_only.mapInPandas(_recount, tokens_schema)
+    agg = partials.groupBy("word").agg(F.sum("partial").alias("n_occurrences"))
+    # the total row carries count N ≥ any word count and its word sorts
+    # before any real token, so it is always row 1 of the TakeOrdered
+    rows = (
+        agg.orderBy(F.desc("n_occurrences"), "word")
+        .limit(k + 1)
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "word string, n_occurrences long")
+    n_tokens = next(
+        (r["n_occurrences"] for r in rows if r["word"] == "\x00total\x00"), 0
+    )
+    top = [r for r in rows if r["word"] != "\x00total\x00"][:k]
+    # any word never emitted as a candidate is bounded by N/(capacity+1);
+    # a truncated candidate additionally carries its observed partial sum
+    floor_bound = truncated_partial_max + n_tokens / (capacity + 1)
+    if top and top[-1]["n_occurrences"] <= floor_bound:
+        raise ValueError(
+            f"heavy_hitters: cannot prove exactness — rank-{k} count "
+            f"{top[-1]['n_occurrences']} <= {floor_bound:.0f} (the ceiling a "
+            f"non-candidate word can reach); raise capacity above {capacity}"
+        )
+    return spark.createDataFrame(
+        [(r["word"], r["n_occurrences"]) for r in top],
+        "word string, n_occurrences long",
+    )

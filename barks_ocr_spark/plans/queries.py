@@ -515,6 +515,30 @@ FROM events GROUP BY event_type
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-20 words via the Misra-Gries two-pass
+    (operators/sketches.py): per-batch candidate sweep + exact recount
+    of candidates only, with the runtime exactness proof
+    (rank-k count > N/(capacity+1)). The token stream never shuffles —
+    the oracle recomputes the same top-k from a full unnest."""
+    from barks_ocr_spark.operators import sketches
+
+    return sketches.heavy_hitters(
+        load(spark, sf_dir, "documents"), k=20, capacity=256
+    )
+
+
+_SQL_HEAVY_HITTERS = """
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM w WHERE word <> ''
+GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 20
+"""
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py): estimated
     distinct users per event_type from the k=16 smallest deterministic
@@ -3564,6 +3588,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "asof_last_click": (q_asof_last_click, _SQL_ASOF_LAST_CLICK),
     "range_join_tiers": (q_range_join_tiers, _SQL_RANGE_JOIN_TIERS),
     "kmv_distinct_users": (q_kmv_distinct_users, _SQL_KMV_DISTINCT),
+    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "value_percentiles": (q_value_percentiles, _SQL_VALUE_PERCENTILES),
     "hypertable_rollup": (q_hypertable_rollup, _SQL_HYPERTABLE_ROLLUP),
     "events_json_props": (q_events_json_props, _SQL_EVENTS_JSON),

@@ -56,6 +56,7 @@ HEADLINE = [
     "quantile_filter",
     "c4_lines",
     "dedup_increment",
+    "heavy_hitters",
 ]
 
 

@@ -61,3 +61,54 @@ def test_kmv_pre_trim_differential(spark):
     }
     assert on == off
     assert on["b"] == 9.0
+
+
+# ─── heavy hitters (exact two-pass Misra-Gries) ─────────────────────────
+
+def test_heavy_hitters_exact_counts_and_order(spark):
+    from barks_ocr_spark.operators import sketches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana banana cherry"),
+            (2, "apple banana durian durian durian durian"),
+            (3, None),
+            (4, "   "),
+            (5, "APPLE Banana cherry"),  # case-folds into the same words
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in sketches.heavy_hitters(docs, k=3, capacity=16).collect()
+    ]
+    # apple 5, banana 4, durian 4 — tie at rank 2/3 resolves by word
+    assert got == [("apple", 5), ("banana", 4), ("durian", 4)]
+
+
+def test_heavy_hitters_refuses_unprovable_flat_corpus(spark):
+    import pytest as _pytest
+
+    from barks_ocr_spark.operators import sketches
+
+    # 40 words once each: rank-1 count 1 <= N/(cap+1) = 40/3 — no top-k
+    # claim is provable at capacity 2, and the operator must say so
+    flat = spark.createDataFrame(
+        [(0, " ".join(f"w{i:02d}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="raise capacity"):
+        sketches.heavy_hitters(flat, k=5, capacity=2)
+
+
+def test_heavy_hitters_sweep_is_candidate_bounded(spark):
+    """The candidate sweep must ship at most `capacity` rows per batch
+    (the whole point vs a token-level shuffle): with capacity 4 the
+    distinct candidate set over one batch cannot exceed 4 even though
+    the batch holds 30 distinct words — and the heavy word still wins."""
+    from barks_ocr_spark.operators import sketches
+
+    text = "hot " * 50 + " ".join(f"cold{i}" for i in range(30))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [tuple(r) for r in sketches.heavy_hitters(docs, k=1, capacity=4).collect()]
+    assert got == [("hot", 50)]
