@@ -47,7 +47,9 @@ def word_ngrams(text: Column, n: int = DEFAULT_NGRAM) -> Column:
     space-joined strings, in first-occurrence order. Documents shorter
     than ``n`` words yield an empty array (no partial grams — the usual
     decontam rule that a doc too short to hold one n-gram cannot
-    collide).
+    collide). A NULL text also yields an empty array (the zip_with
+    formulation returned SQL NULL; no consumer distinguished them —
+    explode of either is zero rows).
 
     Delegates to the single-regex-pass shingle builder
     (dedup.shingles_from_text): one C-side RE2 scan with a lookahead

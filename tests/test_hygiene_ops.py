@@ -491,3 +491,48 @@ def test_c4_line_filter_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_word_ngrams_matches_zipwith_reference(spark):
+    """word_ngrams now delegates to the single-regex shingle builder;
+    pin byte-identity against the original zip_with formulation (the
+    documented contract: distinct grams, first-occurrence order, empty
+    for docs shorter than n) across the tricky shapes — exactly-n
+    words, duplicate grams, punctuation canonicalization, null."""
+    def zipwith_form(text, n):
+        from barks_ocr_spark.operators.textstats import canonical_text
+
+        ws = F.split(canonical_text(text), " ")
+        m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+        acc = F.slice(ws, 1, m)
+        for k in range(2, n + 1):
+            acc = F.zip_with(
+                acc, F.slice(ws, k, m), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.array_distinct(acc)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight"),   # exactly 8
+            (2, "a b c d e f g"),                             # 7 < 8 → empty
+            (3, "x y x y x y x y x y x y"),                   # duplicate grams
+            (4, "Hello, World! Hello, World! and more words here now ok"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3, 8):
+        got = docs.select(
+            "doc_id", decontam.word_ngrams(F.col("text"), n).alias("g")
+        ).collect()
+        want = docs.select(
+            "doc_id", zipwith_form(F.col("text"), n).alias("g")
+        ).collect()
+        # the one deliberate contract difference: NULL text is an empty
+        # array now (the zip_with form returned SQL NULL; explode of
+        # either is zero rows, so no consumer distinguished them)
+        want_vals = [
+            (r["doc_id"], r["g"] if r["g"] is not None else []) for r in want
+        ]
+        assert [(r["doc_id"], r["g"]) for r in got] == want_vals, f"n={n}"
