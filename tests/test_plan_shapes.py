@@ -21,7 +21,9 @@ def _plan(df) -> str:
 
 
 def test_extraction_kernel_pass_has_no_shuffle(spark):
-    docs = Q._spanized_docs(spark, SF)
+    # spread=False: the pin asserts the KERNEL pass adds no shuffle on
+    # top of its input; the r7 scan-spread repartition is input-side
+    docs = Q._spanized_docs(spark, SF, spread=False)
     # pass 2 with a precomputed heading set: pure Scan → MapInArrow
     plan = _plan(extraction.extract(docs, repeating=frozenset()))
     assert "Exchange" not in plan
