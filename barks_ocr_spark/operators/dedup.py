@@ -135,65 +135,141 @@ def ngram_jaccard_pairs(
     audit what the cap removes via :func:`hot_shingles`, or pass
     ``max_shingle_freq=None`` for the exact-but-skew-prone plan.
 
-    Plan shape (r7, guide §2.3/§2.4/§8): ONE exchange of the shingle
-    table — ``groupBy(xxhash64(shingle)).collect_list(doc, n)`` — then
-    ordered pairs are generated IN-TASK by a double explode over each
-    posting list and flow straight into the pair-count partial
-    aggregate. This replaces the former shingle-keyed self-join, which
-    exchanged the full shingle TEXT table twice (build + probe of a
-    join) plus a third aggregate pass for the hot cap; the cap is now a
-    free ``size(postings) <= cap`` filter on the same aggregate (freq ==
-    postings length, the same count the old pass computed). Keying on
-    the 8-byte xxhash64 instead of the ~25-byte shingle text shrinks
-    the one remaining exchange ~3× (same keying discipline, and the
-    same ~n²/2⁶⁴ collision odds, as remove_repeated_chunks — a
-    collision could merge two shingles' postings and at worst drop a
-    pair via the cap or inflate one intersection count; the DuckDB
-    oracle, which keys on text, agrees at every test scale). A
-    size-ratio prune (jaccard ≤ min(n_a,n_b)/max(n_a,n_b), and double
-    division is monotone, so no surviving pair can be lost) drops
-    impossible pairs BEFORE the pair-count aggregate ever hashes them.
-    Measured at sf1.0 / local[32]: 63.9 s → 9.1 s best-of-2 (7×), plan
-    4 Exchanges → 3, byte-identical output (oracle-checked at sf0.001,
-    sf0.01, sf1.0).
+    Plan shape (r7, guide §2.3/§2.4/§8). Three ideas compose:
+
+    1. **Distinct shingle-SETS, not docs, generate pairs** — the same
+       skew discipline as simhash_near_duplicates' distinct-signature
+       collapse. Jaccard is a pure function of the two shingle sets, so
+       docs with byte-identical sets (exact duplicates — the common
+       case in the corpus this operator exists for) are interchangeable:
+       the quadratic pair stream runs over the DISTINCT sets (set id =
+       xxhash64 of the doc's sorted shingle-hash array), and doc pairs
+       re-expand afterward by joining set members back. k copies of a
+       document contribute ONE row per posting list instead of k —
+       the pair stream shrinks by the duplication factor SQUARED.
+       Same-set doc pairs don't need pair counting at all: their
+       jaccard is |capped set| / (2n − |capped set|), computed per set.
+    2. **One exchange of hash-keyed postings** — ``groupBy(shingle
+       hash).collect_list(set, n)`` with ordered set pairs generated
+       IN-TASK by a double explode, replacing the former shingle-keyed
+       self-join that exchanged the shingle TEXT table twice. 8-byte
+       xxhash64 keys instead of ~25-byte shingle text (same keying
+       discipline, and the same ~n²/2⁶⁴ collision odds, as
+       remove_repeated_chunks; a set-id collision could merge two
+       distinct sets — ~|sets|²/2⁶⁴ — and the DuckDB oracle, which
+       keys on text, agrees at every test scale).
+    3. **Size-ratio prune** — jaccard ≤ min(n_a,n_b)/max(n_a,n_b), and
+       double division is monotone, so dropping set pairs with
+       min/max < threshold before the pair-count aggregate loses no
+       surviving pair.
+
+    The hot-shingle cap uses the true per-DOC frequency (a tiny
+    aggregate broadcast as an anti-join list — postings length counts
+    distinct sets and can no longer stand in for it).
+    Measured at sf1.0 / local[32] (a 2×-duplicated 100k-doc corpus),
+    best-of-2: 104.9 s (r6 self-join) → 24.9 s (hash postings + prune)
+    → 13.6 s (distinct-set collapse), byte-identical output
+    (oracle-checked at sf0.001, sf0.01, sf0.1, sf1.0).
     """
-    # One exchange: hash-keyed postings lists. The shingle pipeline
-    # (canonicalize + regex) runs once into the persisted table; only
-    # (doc_id, n_shingles, hash) rows ever shuffle.
+    # The shingle pipeline (canonicalize + regex) runs once into the
+    # persisted table; only (doc_id, n_shingles, hash) rows ever shuffle.
     sh = _persist(
         shingle_table(docs, text_col, n).select(
             "doc_id", "n_shingles", F.xxhash64("shingle").alias("_sh")
         )
     )
     sh.count()
-    postings = sh.groupBy("_sh").agg(
-        F.collect_list(F.struct("doc_id", "n_shingles")).alias("_ds")
+    # doc → set identity (sorted shingle-hash array hashed to 8 bytes);
+    # members expand set-level results back to doc-level at the end
+    members = _persist(
+        sh.groupBy("doc_id", "n_shingles").agg(
+            F.xxhash64(F.sort_array(F.collect_list("_sh"))).alias("_set")
+        )
     )
+    members.count()
+    usets = members.select("_set", "n_shingles", "doc_id").groupBy(
+        "_set", "n_shingles"
+    ).agg(F.min("doc_id").alias("_rep"), F.count("*").alias("_n_docs"))
+    # capped per-set postings: one row per (set, sub-cap shingle), built
+    # from each set's representative doc's rows
+    rep_sh = sh.join(
+        usets.select(F.col("_rep").alias("doc_id"), "_set", "_n_docs"),
+        "doc_id",
+    ).select("_set", "n_shingles", "_n_docs", "_sh")
     if max_shingle_freq is not None:
-        postings = postings.filter(F.size("_ds") <= max_shingle_freq)
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") > max_shingle_freq)
+            .select("_sh")
+        )
+        rep_sh = rep_sh.join(F.broadcast(hot), "_sh", "left_anti")
+    rep_sh = _persist(rep_sh)
+    rep_sh.count()
+    # same-set pairs: jaccard = c/(2n−c) with c = |capped set| ≥ 1 (a
+    # set whose every shingle is capped away shares no countable
+    # shingle, so its docs never pair — matching the pair-generation
+    # semantics exactly)
+    same_sets = (
+        rep_sh.groupBy("_set", "n_shingles", "_n_docs")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_n_docs") > 1)
+        .select(
+            "_set",
+            (
+                F.col("_c")
+                / (F.col("n_shingles") + F.col("n_shingles") - F.col("_c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    m1 = members.select(F.col("doc_id").alias("doc_a"), "_set")
+    m2 = members.select(F.col("doc_id").alias("doc_b"), "_set")
+    same = (
+        same_sets.join(m1, "_set")
+        .join(m2, "_set")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    # cross-set pairs: one exchange to postings lists, in-task pair
+    # generation, ratio prune, then the pair-count aggregate
+    postings = rep_sh.groupBy("_sh").agg(
+        F.collect_list(F.struct("_set", "n_shingles")).alias("_ds")
+    )
     postings = postings.filter(F.size("_ds") > 1)
     x, y = F.col("_x"), F.col("_y")
     n_x, n_y = x["n_shingles"], y["n_shingles"]
     pairs = (
         postings.select(F.explode("_ds").alias("_x"), "_ds")
         .select("_x", F.explode("_ds").alias("_y"))
-        .filter(x["doc_id"] < y["doc_id"])
+        .filter(x["_set"] < y["_set"])
         # prune: jaccard ≤ min/max, so min/max < threshold can never pass
         .filter(
             F.least(n_x, n_y) / F.greatest(n_x, n_y) >= F.lit(threshold)
         )
     )
     inter = pairs.groupBy(
-        x["doc_id"].alias("doc_a"),
-        y["doc_id"].alias("doc_b"),
+        x["_set"].alias("_sa"),
+        y["_set"].alias("_sb"),
         n_x.alias("n_a"),
         n_y.alias("n_b"),
     ).agg(F.count("*").alias("n_common"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    set_pairs = inter.select("_sa", "_sb", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
+    ma = members.select(F.col("doc_id").alias("_da"), F.col("_set").alias("_sa"))
+    mb = members.select(F.col("doc_id").alias("_db"), F.col("_set").alias("_sb"))
+    cross = (
+        set_pairs.join(ma, "_sa")
+        .join(mb, "_sb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return cross.unionAll(same)
 
 
 def minhash_signatures(
@@ -255,13 +331,22 @@ def minhash_lsh_candidates(
 
     Two docs collide when any band of their signatures matches exactly.
     Shuffle key = (band_id, band_hash): bounded, well-distributed.
+
+    r7 plan shape (guide §2.3/§2.4): the band bucket is ``xxhash64``
+    over the band's long-array slice directly — no per-band string
+    build/concat (the bucket id is internal; the registry oracle checks
+    the exact-Jaccard-verified output pairs, not bucket values). The
+    bucket self-join is replaced by ONE ``groupBy(band,
+    bucket).collect_list(doc_id)`` whose lists generate ordered pairs
+    in-task (the same one-exchange postings shape as
+    ngram_jaccard_pairs). Measured at sf1.0: candidate stage 6.0 s →
+    5.1 s best-of-2, identical candidate sets.
     """
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     # Each band lambda inlines (re-evaluates) the upstream signature
-    # expression, and the self-join doubles it again — persist AND
-    # eagerly materialize: a lazily-materialized cache inside the same
-    # action still recomputes on the broadcast-build side (measured
-    # 280s lazy vs 2s eager on 1k docs).
+    # expression — persist AND eagerly materialize: a lazily-materialized
+    # cache inside the same action still recomputes on the
+    # broadcast-build side (measured 280s lazy vs 2s eager on 1k docs).
     signatures = _persist(signatures)
     signatures.count()
     banded = signatures.select(
@@ -272,22 +357,20 @@ def minhash_lsh_candidates(
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
                     ).alias("bucket"),
                 ),
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
     return (
-        a.join(b, ["band", "bucket"])
+        grouped.select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

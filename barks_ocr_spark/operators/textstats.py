@@ -376,11 +376,21 @@ def gopher_filter(
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    # asNondeterministic (r7, guide §4.4): a downstream ``.filter("keep")``
+    # — the standard composition, used by pipeline.clean_corpus — would
+    # otherwise be pushed below this projection by substituting the
+    # whole ``failed`` tree into the predicate, re-inlining the word
+    # split / stopword InSet scan / punct regex SEVERAL times per row
+    # (higher-order array functions are interpreted, so codegen CSE
+    # cannot rescue them; measured 0.90 s → 5.27 s for gate+filter at
+    # sf1.0). The kernel is in fact deterministic — the marker only
+    # tells the optimizer not to reorder or duplicate across it, which
+    # pins the staged projection as the single evaluation site.
     kernel = F.pandas_udf(
         _repetition_scores_batch,
         "top_unigram_frac double, top_bigram_frac double,"
         " dup_trigram_frac double",
-    )
+    ).asNondeterministic()
     staged = docs.filter(text.isNotNull()).select(
         "doc_id",
         n_words.alias("n_words"),
