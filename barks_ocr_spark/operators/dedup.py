@@ -172,10 +172,18 @@ def ngram_jaccard_pairs(
     (oracle-checked at sf0.001, sf0.01, sf0.1, sf1.0).
     """
     # The shingle pipeline (canonicalize + regex) runs once into the
-    # persisted table; only (doc_id, n_shingles, hash) rows ever shuffle.
+    # persisted table; only (doc_id, n_shingles, hash) rows ever
+    # shuffle. Hash INSIDE the array and explode longs — exploding a
+    # long array skips the per-row UTF8 copies of exploding shingle
+    # text (measured 1.95 s → 0.42 s for the same stream shape).
+    ds = doc_shingles(docs, text_col, n)
     sh = _persist(
-        shingle_table(docs, text_col, n).select(
-            "doc_id", "n_shingles", F.xxhash64("shingle").alias("_sh")
+        ds.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode(
+                F.transform("shingles", lambda x: F.xxhash64(x))
+            ).alias("_sh"),
         )
     )
     sh.count()
@@ -310,6 +318,11 @@ def minhash_signatures_from_shingles(sh: DataFrame, k: int = 64) -> DataFrame:
         F.xxhash64(F.col("shingle")).alias("_h1"),
         F.xxhash64(F.col("shingle"), F.lit(1)).alias("_h2"),
     )
+    return _minhash_sigs_from_h1h2(hashed, k)
+
+
+def _minhash_sigs_from_h1h2(hashed: DataFrame, k: int) -> DataFrame:
+    """Signature aggregate over pre-hashed (doc_id, _h1, _h2) rows."""
     h1, h2 = F.col("_h1"), F.col("_h2")
 
     def rotl(col, i):  # Java shifts are mod 64, so i=0 degenerates to col
@@ -342,26 +355,26 @@ def minhash_lsh_candidates(
     ngram_jaccard_pairs). Measured at sf1.0: candidate stage 6.0 s →
     5.1 s best-of-2, identical candidate sets.
     """
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    # Each band lambda inlines (re-evaluates) the upstream signature
-    # expression — persist AND eagerly materialize: a lazily-materialized
-    # cache inside the same action still recomputes on the
-    # broadcast-build side (measured 280s lazy vs 2s eager on 1k docs).
+    # Persist AND eagerly materialize: a lazily-materialized cache
+    # inside the same action still recomputes on the broadcast-build
+    # side (measured 280s lazy vs 2s eager on 1k docs). Band structs
+    # are UNROLLED literal expressions (one concrete slice+hash per
+    # band, whole-stage codegen) rather than a transform() lambda,
+    # which evaluates per element through the interpreted HOF path —
+    # the same shape simhash_segment_table uses.
     signatures = _persist(signatures)
     signatures.count()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
     banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     grouped = (
         banded.groupBy("band", "bucket")
@@ -400,9 +413,25 @@ def minhash_near_duplicates(
     # functions evaluate with per-element interpreted closures, which
     # costs more than the shuffle the variant saves; the exploded
     # groupBy rides whole-stage codegen + partial aggregation.)
+    # r7: the signature stage explodes a struct-of-hashes array built
+    # in-array (one transform per doc) instead of exploding shingle
+    # STRINGS and hashing each row — exploding longs skips the per-row
+    # UTF8 copies (same measured 4.7× stream win as decontam's gram
+    # explode); hash values are identical, so signatures are unchanged.
     doc_sh = _persist(doc_shingles(docs, text_col, n))
-    sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sigs = minhash_signatures_from_shingles(sh, k)
+    hashed = doc_sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                "shingles",
+                lambda s: F.struct(
+                    F.xxhash64(s).alias("_h1"),
+                    F.xxhash64(s, F.lit(1)).alias("_h2"),
+                ),
+            )
+        ).alias("_hh"),
+    ).select("doc_id", "_hh._h1", "_hh._h2")
+    sigs = _minhash_sigs_from_h1h2(hashed, k)
     cand = minhash_lsh_candidates(sigs, bands, k // bands)
     a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -544,9 +573,18 @@ def _simhash_batch(texts):  # type: (pd.Series) -> pd.Series
         )
         starts = np.zeros(len(n_tokens), dtype=np.int64)
         np.cumsum(n_tokens[:-1], out=starts[1:])
-        # int32 accumulator: exact up to 2³¹ tokens per doc (a batch's
-        # flat token array is far smaller than that by construction)
-        cnt = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+        # accumulator width by need: per-bit counts are bounded by the
+        # longest doc's token count, so short-doc batches fold in uint8
+        # (4× less memory traffic than int32 — 32 concurrent workers
+        # make the fold bandwidth-bound, not compute-bound); int32 is
+        # exact up to 2³¹ tokens per doc for the long-doc fallback
+        acc = np.uint8 if n_tokens.max() < 256 else np.int32
+        cnt = np.add.reduceat(
+            bits if acc is np.uint8 else bits.astype(acc), starts, axis=0
+        )
+        # widen AFTER the fold: the counts matrix is docs×64 (tiny),
+        # the token-level bits matrix was the bandwidth cost
+        cnt = cnt.astype(np.int64)
         masks = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
             np.uint64
         )
@@ -684,15 +722,20 @@ def simhash_near_duplicates(
             "hamming",
         )
     )
-    x, y = sigs.alias("x"), sigs.alias("y")
+    # same-signature pairs from ONE exchange (groupBy/collect postings
+    # + in-task ordered pair explode — r7, the ngram_jaccard_pairs
+    # shape) instead of a signature-keyed self-join that exchanged the
+    # sigs table twice
+    sig_groups = (
+        sigs.groupBy("simhash")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
     same = (
-        x.join(y, "simhash")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(0).alias("hamming"),
-        )
+        sig_groups.select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
     )
     return cross.unionAll(same)
 
