@@ -809,7 +809,7 @@ def q_bucketed_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless."""
     from barks_ocr_spark.sources import bucketed
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     # per-process table name + dead-pid orphan sweep: concurrent runs at
     # the same sf can't drop each other's table mid-query, and crashed
     # runs' dirs are reclaimed on the next run (ADVICE r3)
@@ -841,7 +841,7 @@ GROUP BY word
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-weighted term scoring over the inverted index (broadcast
     vocabulary-dim join, fact side never reshuffles)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     out = index.tf_idf(docs)
     return out.select("word", "doc_id", F.round("tf_idf", 6).alias("tf_idf"))
 
@@ -868,7 +868,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT selection, not just the per-group sizes."""
     from barks_ocr_spark.operators import sampling
 
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "source")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return sampling.cap_per_group(docs, "source", cap=15)
 
 
@@ -888,7 +888,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection), rolled up per (split, lang)."""
     from barks_ocr_spark.operators import sampling
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     return sampling.split_train_test(docs, test_frac=0.1).groupBy(
         "split", "lang"
     ).agg(F.count("*").alias("n_docs"))
@@ -908,7 +908,7 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment; the oracle replays the exact same windows in SQL."""
     from barks_ocr_spark.operators import sampling
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     return sampling.pack_documents(docs, budget=2048, n_shards=16)
 
 
@@ -931,7 +931,7 @@ FROM c
 
 
 def q_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     return index.word_doc_freq(docs).orderBy(F.desc("doc_freq"), "word").limit(50)
 
 
@@ -946,7 +946,7 @@ GROUP BY word ORDER BY doc_freq DESC, word LIMIT 50
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(load(spark, sf_dir, "documents", spread=True))
+    return textstats.lang_id(load(spark, sf_dir, "documents"))
 
 
 _EN_LIST_SQL = ", ".join(_sql_quote(w) for w in sorted(tn.STOP_WORDS))
@@ -967,7 +967,7 @@ FROM w
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.quality_score(load(spark, sf_dir, "documents", spread=True))
+    return textstats.quality_score(load(spark, sf_dir, "documents"))
 
 
 _SQL_QUALITY = f"""
@@ -992,7 +992,7 @@ FROM w
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(load(spark, sf_dir, "documents", spread=True))
+    return textstats.token_counts(load(spark, sf_dir, "documents"))
 
 
 _SQL_TOKEN_COUNTS = """
@@ -1004,7 +1004,7 @@ FROM documents
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprint(load(spark, sf_dir, "documents", spread=True))
+    return textstats.fingerprint(load(spark, sf_dir, "documents"))
 
 
 _CANON_SQL = (
@@ -1020,10 +1020,18 @@ FROM documents GROUP BY 1
 """
 
 
-def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doubled_docs(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """documents ∪ shifted-id copy — a corpus with guaranteed duplicates
-    for the dedup operators."""
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    for the dedup operators. ``spread`` opts the scan into the r7
+    scale-adaptive repartition (see ``load``): measured per consumer at
+    sf1.0 — the shingle-pipeline operators (jaccard 17.5→15.0 s,
+    minhash 9.0→6.6 s) win, while the kernel-signature and
+    fingerprint-aggregate consumers (simhash 5.2 vs 8.5 s,
+    exact_duplicates 1.15 vs 1.37 s) are faster on the scan's natural
+    partitioning now that canonical_text is cheap."""
+    docs = load(spark, sf_dir, "documents", spread=spread).select("doc_id", "text")
     twin = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     return docs.unionAll(twin)
 
@@ -1072,7 +1080,7 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by test_dedup_increment_index_side_is_exchange_free)."""
     from barks_ocr_spark.sources import bucketed
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     old = docs.filter(F.col("doc_id") % 2 == 0)
     inc = (
@@ -1157,7 +1165,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs with the DEFAULT hot-shingle cap (on since round 2); the
     oracle applies the identical cap — intersections over capped
     shingles, denominators from pre-cap counts."""
-    return dedup.ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        _doubled_docs(spark, sf_dir, spread=True), threshold=0.8
+    )
 
 
 _SQL_JACCARD_BODY_CAPPED = f"""
@@ -1185,7 +1195,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE (min reachable id)."""
     from barks_ocr_spark.operators import clusters
 
-    pairs = dedup.ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(
+        _doubled_docs(spark, sf_dir, spread=True), threshold=0.8
+    )
     return clusters.duplicate_clusters(pairs)
 
 
@@ -1224,7 +1236,7 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, broadcast into a left-anti join."""
     from barks_ocr_spark.operators import clusters
 
-    docs = _doubled_docs(spark, sf_dir)
+    docs = _doubled_docs(spark, sf_dir, spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
     cl = clusters.duplicate_clusters(pairs)
     losers = cl.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -1248,7 +1260,9 @@ def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH proposes, exact Jaccard verifies — on this corpus the
     ≥0.8 pairs are exactly the planted duplicates, so the exact-Jaccard
     SQL is a complete oracle."""
-    return dedup.minhash_near_duplicates(_doubled_docs(spark, sf_dir), threshold=0.8)
+    return dedup.minhash_near_duplicates(
+        _doubled_docs(spark, sf_dir, spread=True), threshold=0.8
+    )
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,7 +1314,7 @@ TESTDATA_ENTITIES = {
 
 
 def q_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     saved = entities.CURATED_ENTITIES
     try:
         entities.CURATED_ENTITIES = TESTDATA_ENTITIES
@@ -1361,7 +1375,7 @@ def q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     --entity-type search): docs mentioning any curated entity of one
     type, with per-doc mention counts. A filter on the tagged entity
     table — the dictionary is broadcast-sized, the scan is one pass."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     saved = entities.CURATED_ENTITIES
     try:
         entities.CURATED_ENTITIES = TESTDATA_ENTITIES
@@ -1391,7 +1405,7 @@ def q_entity_word_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index) are orders of magnitude smaller than the tagged-entity
     table, so the hit set is broadcast into it — the entity side never
     reshuffles on doc_id."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     saved = entities.CURATED_ENTITIES
     try:
         entities.CURATED_ENTITIES = TESTDATA_ENTITIES
@@ -1439,7 +1453,7 @@ def q_issue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Issue predicates over a deterministically dash-planted corpus
     (the raw corpus contains no dashes — the plant makes the checks
     observable; both engines apply the identical transform)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.replace(F.col("text"), F.lit(" slow "), F.lit("—")).alias("text"),
     )
@@ -1476,7 +1490,7 @@ def _engine_groups(spark: SparkSession, sf_dir: str, perturb: bool) -> DataFrame
     groups (doc_id, panel_num, pos, text). The perturbed engine drops
     every doc's last group when doc_id % 7 == 0 and uppercases the first
     group when doc_id % 5 == 0 — planted mismatches for the comparator."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
@@ -1612,7 +1626,7 @@ def q_cache_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 85 (score = 80 + doc%30 < 85 ⟺ doc%30 < 5) miss; the rest hit."""
     from barks_ocr_spark.operators import compare
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     groups = docs.select(
         "doc_id", F.lit(0).alias("group_id"), F.col("text").alias("text")
     )
@@ -1691,7 +1705,7 @@ def q_entity_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 corrections overlay: deterministic corrections derived from the
     tagged set (remove 'spark' rows on even docs, add a curated name on
     docs ending in 3, replace OPERATION set on docs ending in 9)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     saved = entities.CURATED_ENTITIES
     try:
         entities.CURATED_ENTITIES = TESTDATA_ENTITIES
@@ -1752,7 +1766,7 @@ GROUP BY entity_type, name
 def q_index_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 integrity check: curated terms missing from the index
     (`pipeline/whoosh_index.py:33-57` analogue)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     idx = index.inverted_index(docs)
     return index.index_integrity_missing_terms(
         idx, ["spark", "customer", "vector", "zzznotaword"]
@@ -1786,7 +1800,7 @@ def q_index_hyphen_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed (`pipeline/whoosh_index.py:138-146`), minus the curated
     allowlist — the OCR hyphenation-artifact detector. Vocabulary-scale
     self-join (index.index_hyphen_duplicates)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     plant = spark.createDataFrame(_HYPHEN_PLANT, "doc_id long, text string")
     idx = index.inverted_index(docs.unionAll(plant))
     return index.index_hyphen_duplicates(idx, allowed=_HYPHEN_ALLOWED)
@@ -1821,7 +1835,7 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms of 'table hash' are ADJACENT in order, with the number of
     phrase starts (index.search_phrase — the Whoosh phrase-query
     analogue, `tools/whoosh_find.py`)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     pos = index.positional_index(docs)
     return index.search_phrase(pos, "table hash")
 
@@ -1850,7 +1864,7 @@ GROUP BY t0.doc_id
 def q_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-search over the index: docs containing every query term
     (the Whoosh multi-term query analogue, O6 set intersection)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     idx = index.inverted_index(docs)
     terms = ["spark", "vector"]
     hits = idx.filter(F.col("word").isin(terms))
@@ -1884,7 +1898,7 @@ TESTDATA_CONTEXT_RULES = [("NEXT_AFTER_FAST", r"\bfast\s+([a-z]+)")]
 def q_context_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-sensitive entity rules (entity_tagger.py:125-142 analogue):
     candidates = the word following a cue word, rolled up corpus-wide."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     tagged = entities.tag_entities_by_context(docs, rules=TESTDATA_CONTEXT_RULES)
     return (
         tagged.groupBy("entity_type", "name")
@@ -1906,7 +1920,7 @@ GROUP BY name ORDER BY total_mentions DESC, name
 
 def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 search-the-index analogue: term lookup, highest count first."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     return index.search(index.inverted_index(docs), "spark")
 
 
@@ -2424,7 +2438,7 @@ def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is 'vector spark ' || text."""
     from barks_ocr_spark.operators import textops
 
-    docs = load(spark, sf_dir, "documents", spread=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("vectqr sparc "), F.col("text")).alias("text")
     )
     return textops.spell_suggest(docs, SPELL_DICT)
@@ -2440,7 +2454,7 @@ def q_comparison_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     em/en-dash runs (corpus has none natively)."""
     from barks_ocr_spark.operators import textops
 
-    docs = load(spark, sf_dir, "documents", spread=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.replace(F.col("text"), F.lit(" slow "), F.lit(" —– ")).alias("text"),
     )
@@ -2470,7 +2484,7 @@ def q_sentence_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).when(
         F.col("doc_id") % 3 == 1, F.concat(planted, F.lit(" MR."))
     ).otherwise(planted)
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", planted.alias("text"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
     return textops.sentence_end_flags(docs)
 
 
@@ -2487,7 +2501,7 @@ def q_rewrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the remainder."""
     from barks_ocr_spark.operators import textops
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     return textops.rewrap(docs, "one two three\nfour five")
 
 
@@ -2506,7 +2520,7 @@ def q_text_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the same integer width sum in SQL."""
     from barks_ocr_spark.operators import textops
 
-    docs = load(spark, sf_dir, "documents", spread=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
         (F.lit(200) + F.col("doc_id") % 300).cast("int").alias("box_w"),
@@ -2534,7 +2548,7 @@ def _layout_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-doc item stream for W3/W4: one item per word,
     left-x derived from the position (pseudo-random walk with planted
     column jumps)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     return docs.select(
         "doc_id", F.posexplode(words).alias("pos", "w")
@@ -2617,7 +2631,7 @@ def q_page_scan_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     small scan dim table (every 10th doc) — broadcast left join, then
     explode for the compare."""
     docs = _spanized_docs(spark, sf_dir)
-    raw = load(spark, sf_dir, "documents", spread=True)
+    raw = load(spark, sf_dir, "documents")
     scans = raw.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("scan_"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
@@ -2679,7 +2693,7 @@ def q_dodgy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents with planted dodgy shapes: gutter groups (panel -1) on
     doc%4==0, page-number notes on doc%8==0, 'W' / 1-char texts on
     doc%12∈{0,4}. Output = the KEPT groups."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     groups = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 4 == 0, -1).otherwise(1).cast("int").alias("panel_num"),
@@ -2720,7 +2734,7 @@ def q_final_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     eagerly inside the operator)."""
     from barks_ocr_spark.operators import comic
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_chunks = F.greatest(F.ceil(F.size(words) / F.lit(8)), F.lit(1)).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)
@@ -2756,7 +2770,7 @@ def q_comic_title_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0..t36 derived from doc_id, every third title non-comic."""
     from barks_ocr_spark.operators import comic
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     pages = docs.select(
         "doc_id",
         F.concat(F.lit("t"), (F.col("doc_id") % 37).cast("string")).alias("title"),
@@ -2783,7 +2797,7 @@ def q_rect_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; numpy kernel vs the closed-form SQL (identical IEEE ops)."""
     from barks_ocr_spark.operators import textops
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     d = F.col("doc_id")
     rects = docs.select(
         "doc_id",
@@ -3026,7 +3040,7 @@ GROUP BY doc_id, n_grams
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset-card rollup (doc/distinct/token totals)."""
-    return textstats.corpus_stats(load(spark, sf_dir, "documents", spread=True))
+    return textstats.corpus_stats(load(spark, sf_dir, "documents"))
 
 
 _SQL_CORPUS_STATS = f"""
@@ -3047,7 +3061,7 @@ def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization over a deterministically planted corpus: every
     5th doc gets a decomposed 'cafe' + combining acute appended; the
     normalizer must compose it (and leave already-NFC docs unchanged)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -3080,7 +3094,7 @@ def q_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes the twin's e+◌́ into é and both fingerprints collapse —
     every planted pair MUST dedup together (and would not without the
     NFC stage, pinned by test_nfc_dedup_requires_normalization)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.select(
         "doc_id", F.concat("text", F.lit(" caf\u00e9")).alias("text")  # composed é
     )
@@ -3122,7 +3136,7 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasons. Thresholds picked so several rules actually fire on this
     corpus (word counts run 10-99, mean word lengths 3.7-5.3)."""
     return textstats.gopher_filter(
-        load(spark, sf_dir, "documents", spread=True),
+        load(spark, sf_dir, "documents"),
         min_words=30,
         min_mean_word_len=4.0,
     )
@@ -3193,7 +3207,7 @@ def q_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barks_ocr_spark.operators import sampling
 
     return sampling.rate_sample(
-        load(spark, sf_dir, "documents", spread=True).select("doc_id", "source"),
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
         "source",
         _RATE_SAMPLE_RATES,
     )
@@ -3451,7 +3465,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: every 4th doc gets the same appended boilerplate sentence;
     the operator must strip it from all of them while keeping each doc's
     unique body."""
-    docs = load(spark, sf_dir, "documents", spread=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -3500,7 +3514,7 @@ def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source; the doc crossing the line is kept)."""
     from barks_ocr_spark.operators import sampling
 
-    return sampling.budget_sample(load(spark, sf_dir, "documents", spread=True), "source", 600)
+    return sampling.budget_sample(load(spark, sf_dir, "documents"), "source", 600)
 
 
 _SQL_BUDGET_SAMPLE = """
@@ -3530,7 +3544,7 @@ def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barks_ocr_spark.operators import sampling
 
     return sampling.quantile_filter(
-        load(spark, sf_dir, "documents", spread=True), "n_chars", 0.25
+        load(spark, sf_dir, "documents"), "n_chars", 0.25
     )
 
 
@@ -3555,7 +3569,7 @@ def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc gains a final period — line lengths then vary enough to
     exercise every predicate (short lines die on min_words, long ones
     survive, sentence counts straddle the ≥3 verdict)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.replace(F.col("text"), F.lit(" join "), F.lit(".\nthen ")),
