@@ -742,9 +742,11 @@ def heading_candidates_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         parents = parents[nz]
     if len(variants) == 0:
         return empty
-    # batch-local (doc, variant) dedup — shrinks the shuffle feeding the
-    # global aggregate (countDistinct dedups again, so this is purely
-    # a volume optimization)
+    # batch-local (doc, variant) dedup — a CORRECTNESS invariant, not
+    # just volume: repeating_headings_counted aggregates with count(*)
+    # over these rows (operators/extraction.py), so each (doc, variant)
+    # must appear at most once per input row or n_docs inflates (pinned
+    # by test_pass1_intra_doc_repeats_count_once)
     enc = pc.dictionary_encode(variants).indices.to_numpy(zero_copy_only=False)
     key = parents.astype(np.int64) * (int(enc.max()) + 1) + enc.astype(np.int64)
     _, first = np.unique(key, return_index=True)

@@ -362,11 +362,14 @@ def quantile_filter(
     score = F.col(score_col)
     sdf = df.filter(score.isNotNull())
     n = sdf.count()
-    # floor(n * keep_frac) with a 1e-9 nudge so a product that is exactly
-    # integral in decimal (n=10, frac=0.3 → 3) doesn't floor to 2 via
-    # binary float (10*0.3 = 2.999…96) — the SQL oracle floors the exact
-    # decimal product
-    k = int(n * keep_frac + 1e-9)
+    # floor of the EXACT decimal product (the SQL oracle's floor):
+    # Fraction(str(keep_frac)) reads the fraction's decimal spelling, so
+    # n=10, frac=0.3 → exactly 3, and at 10¹²-row scale the double
+    # rounding error of n*keep_frac (which the old 1e-9 nudge could not
+    # always cover) cannot move k off by one
+    from fractions import Fraction
+
+    k = int(n * Fraction(str(keep_frac)))
     if k <= 0:
         return sdf.limit(0)
     if k >= n:

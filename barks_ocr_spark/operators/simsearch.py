@@ -432,8 +432,8 @@ def lsh_band_write(
     - ``<path>/bands``: (id, sig, band, val) — each row exploded into
       ``n_bands`` band rows, PARTITIONED BY (band, val), so a probe for
       band i / value v is parquet partition pruning down to one sliver
-      (n_bands × 2^(n_planes/n_bands) directories; 8×4 bits → 8×16
-      partitions at the defaults). The fat vector column does NOT ride
+      (n_bands × 2^(n_planes/n_bands) directories; 8 bands × 2 bits →
+      8×4 = 32 partitions at the defaults). The fat vector column does NOT ride
       the band rows — band storage is n_bands × (id + 8-byte sig).
     - ``<path>/base``: (id, vec) — the re-rank side, scanned only for
       candidate ids (broadcast join, same discipline as PQ's re-rank).
@@ -751,13 +751,16 @@ def pq_topk(
     :func:`brute_force_topk`.
 
     Scale shape: the corpus-wide candidate stage is TakeOrdered over
-    (id, _adc) ONLY — the raw vector column never enters it (columnar
-    projection skips it entirely), so the big scan reads the 32×-smaller
-    code column; the ≤ k×refine candidate ids then broadcast-join back
-    to the source to fetch vectors for the exact re-rank. Pinned by
-    test_pq_candidate_scan_never_reads_vectors. Approximation quality
-    rides the codebook: LCG default for engine-replayable tests,
-    :func:`pq_train` output for production."""
+    (id, _adc) ONLY — the raw vector column never rides the sort
+    (columnar projection skips it); the ≤ k×refine candidate ids then
+    broadcast-join back to the source to fetch vectors for the exact
+    re-rank. Pinned by test_pq_candidate_scan_never_reads_vectors.
+    The 32×-less-I/O scan applies to the INDEXED path (pq_topk_indexed,
+    which reads stored codes); this inline form must read the raw
+    vectors once to ENCODE them — its second ArrowEvalPython stage,
+    asserted by test_pq_indexed_no_encode_recompute. Approximation
+    quality rides the codebook: LCG default for engine-replayable
+    tests, :func:`pq_train` output for production."""
     CB = pq_codebook_int(m, n_codes, dim) if codebook is None else codebook
     dsub = dim // m
     qint = np.floor(np.asarray(query_vec, dtype=np.float64) * 1_000_000.0).astype(

@@ -142,8 +142,19 @@ def heavy_hitters(
     tokens_schema = "word string, partial long"
 
     def _batch_counts(b: pd.DataFrame) -> pd.Series:
-        texts = b["text"].dropna().astype(str).str.lower().str.strip()
-        words = texts.str.split().explode().dropna()
+        # ASCII-whitespace tokenization, mirroring the oracle's
+        # trim(…) + string_split_regex(…, '\s+') (RE2 \s is ASCII) —
+        # pandas' default str.strip()/str.split() use Python's Unicode
+        # whitespace, which would diverge on NBSP/U+2028 text (ADVICE
+        # r6). '' tokens from the regex split are dropped exactly as
+        # the oracle's word <> '' filter drops them.
+        texts = b["text"].dropna().astype(str).str.lower().str.strip(" ")
+        words = (
+            texts.str.split("[\t\n\x0b\f\r ]+", regex=True)
+            .explode()
+            .dropna()
+        )
+        words = words[words != ""]
         return words.value_counts()
 
     def _mg_sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -24,7 +24,8 @@ import time
 
 import numpy as np
 
-ARRAY_MB = 128  # far beyond any LLC; forces DRAM traffic
+ARRAY_MB = 256  # far beyond any LLC; forces DRAM traffic (matches the
+# "256 MB arrays" wording in the BASELINE.md report template)
 
 
 def _worker(seconds: float, q: mp.Queue) -> None:
