@@ -172,41 +172,40 @@ def ngram_jaccard_pairs(
     (oracle-checked at sf0.001, sf0.01, sf0.1, sf1.0).
     """
     # The shingle pipeline (canonicalize + regex) runs once into the
-    # persisted table; only (doc_id, n_shingles, hash) rows ever
-    # shuffle. Hash INSIDE the array and explode longs — exploding a
-    # long array skips the per-row UTF8 copies of exploding shingle
-    # text (measured 1.95 s → 0.42 s for the same stream shape).
+    # persisted table, which carries per doc the sorted shingle-HASH
+    # array, its size, and the set id — all PURE PROJECTIONS over the
+    # shingle arrays: hashing inside the array and exploding longs
+    # skips the per-row UTF8 copies of exploding shingle text (measured
+    # 1.95 s → 0.42 s for the same stream shape), and deriving the set
+    # id by projection replaces a 5M-row groupBy(doc) shuffle.
     ds = doc_shingles(docs, text_col, n)
-    sh = _persist(
+    harr = F.sort_array(F.transform("shingles", lambda x: F.xxhash64(x)))
+    dsh = _persist(
         ds.select(
             "doc_id",
             F.size("shingles").alias("n_shingles"),
-            F.explode(
-                F.transform("shingles", lambda x: F.xxhash64(x))
-            ).alias("_sh"),
+            harr.alias("_harr"),
+        ).withColumn("_set", F.xxhash64("_harr"))
+    )
+    dsh.count()
+    members = dsh.select("doc_id", "n_shingles", "_set")
+    # one row per DISTINCT set, with its doc multiplicity; the hash
+    # arrays ride this (set-count-sized) dedup shuffle once
+    usets = _persist(
+        dsh.groupBy("_set", "n_shingles").agg(
+            F.count("*").alias("_n_docs"), F.first("_harr").alias("_harr")
         )
     )
-    sh.count()
-    # doc → set identity (sorted shingle-hash array hashed to 8 bytes);
-    # members expand set-level results back to doc-level at the end
-    members = _persist(
-        sh.groupBy("doc_id", "n_shingles").agg(
-            F.xxhash64(F.sort_array(F.collect_list("_sh"))).alias("_set")
-        )
+    usets.count()
+    # capped per-set postings: one row per (set, sub-cap shingle); the
+    # hot list uses the true per-DOC frequency
+    rep_sh = usets.select(
+        "_set", "n_shingles", "_n_docs", F.explode("_harr").alias("_sh")
     )
-    members.count()
-    usets = members.select("_set", "n_shingles", "doc_id").groupBy(
-        "_set", "n_shingles"
-    ).agg(F.min("doc_id").alias("_rep"), F.count("*").alias("_n_docs"))
-    # capped per-set postings: one row per (set, sub-cap shingle), built
-    # from each set's representative doc's rows
-    rep_sh = sh.join(
-        usets.select(F.col("_rep").alias("doc_id"), "_set", "_n_docs"),
-        "doc_id",
-    ).select("_set", "n_shingles", "_n_docs", "_sh")
     if max_shingle_freq is not None:
         hot = (
-            sh.groupBy("_sh")
+            dsh.select(F.explode("_harr").alias("_sh"))
+            .groupBy("_sh")
             .agg(F.count("*").alias("freq"))
             .filter(F.col("freq") > max_shingle_freq)
             .select("_sh")
@@ -402,51 +401,103 @@ def minhash_near_duplicates(
     candidate set, then Jaccard is computed pairwise on candidates only —
     never the full shingle self-join. Output: (doc_a, doc_b, jaccard).
 
-    Scale shape: the candidate table is tiny relative to the corpus, so
-    the verify stage is two doc_id-keyed joins to attach each side's
-    shingle array + an intra-row ``array_intersect`` — shuffle volume is
-    O(candidates), not O(docs sharing a shingle)."""
-    # One shingle pass feeds signatures AND pairwise verification.
-    # (An intra-row signature variant — array_min over zip_with'd hash
-    # arrays, no explode/shuffle — was measured SLOWER here: 5.7s vs
-    # 3.4s at sf0.1 under cache-cleared best-of-2. Higher-order
-    # functions evaluate with per-element interpreted closures, which
-    # costs more than the shuffle the variant saves; the exploded
-    # groupBy rides whole-stage codegen + partial aggregation.)
-    # r7: the signature stage explodes a struct-of-hashes array built
-    # in-array (one transform per doc) instead of exploding shingle
-    # STRINGS and hashing each row — exploding longs skips the per-row
-    # UTF8 copies (same measured 4.7× stream win as decontam's gram
-    # explode); hash values are identical, so signatures are unchanged.
-    doc_sh = _persist(doc_shingles(docs, text_col, n))
-    hashed = doc_sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                "shingles",
-                lambda s: F.struct(
-                    F.xxhash64(s).alias("_h1"),
-                    F.xxhash64(s, F.lit(1)).alias("_h2"),
-                ),
-            )
-        ).alias("_hh"),
+    Scale shape (r7): the whole MinHash pipeline — signatures, banding,
+    candidate generation, exact verify — runs over the DISTINCT shingle
+    sets (the same collapse as ngram_jaccard_pairs and simhash's
+    distinct-signature discipline): a doc's set identity is a pure
+    projection (hash of its sorted shingle-hash-pair array), duplicated
+    docs contribute ONE signature and band row each, and doc pairs
+    re-expand at the end. Same-set doc pairs skip LSH+verify entirely —
+    identical sets always share every band and verify at jaccard 1.0,
+    so they are emitted directly. Both (h1, h2) seeded hashes ride the
+    per-doc struct array, so SIGNATURE VALUES ARE UNCHANGED from the
+    doc-level form — candidate recall is identical, not merely
+    equivalent. Verification intersects the hash-pair arrays instead of
+    shingle strings (collision odds ~n²/2¹²⁸ for a false struct match;
+    the text-keyed oracle agrees at every test scale). The candidate
+    table stays tiny, so verify is two set-keyed joins + an intra-row
+    ``array_intersect`` — shuffle volume is O(candidate sets).
+
+    (An intra-row signature variant — array_min over zip_with'd hash
+    arrays, no explode/shuffle — was measured SLOWER: 5.7s vs 3.4s at
+    sf0.1; interpreted per-element closures cost more than the shuffle
+    they save. Exploding the in-array-built struct-of-hashes skips the
+    per-row UTF8 copies of exploding shingle strings — the same
+    measured 4.7× stream win as decontam's gram explode.)"""
+    ds = doc_shingles(docs, text_col, n)
+    ha = F.sort_array(
+        F.transform(
+            "shingles",
+            lambda s: F.struct(
+                F.xxhash64(s).alias("_h1"),
+                F.xxhash64(s, F.lit(1)).alias("_h2"),
+            ),
+        )
+    )
+    dsh = _persist(
+        ds.select("doc_id", ha.alias("_ha")).withColumn(
+            "_set", F.xxhash64("_ha")
+        )
+    )
+    dsh.count()
+    members = dsh.select("doc_id", "_set")
+    usets = _persist(
+        dsh.groupBy("_set").agg(
+            F.count("*").alias("_n_docs"), F.first("_ha").alias("_ha")
+        )
+    )
+    usets.count()
+    hashed = usets.select(
+        F.col("_set").alias("doc_id"), F.explode("_ha").alias("_hh")
     ).select("doc_id", "_hh._h1", "_hh._h2")
     sigs = _minhash_sigs_from_h1h2(hashed, k)
     cand = minhash_lsh_candidates(sigs, bands, k // bands)
-    a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    a = usets.select(F.col("_set").alias("doc_a"), F.col("_ha").alias("sh_a"))
+    b = usets.select(F.col("_set").alias("doc_b"), F.col("_ha").alias("sh_b"))
     pairs = cand.join(a, "doc_a").join(b, "doc_b")
     pairs = pairs.select(
-        "doc_a",
-        "doc_b",
+        F.col("doc_a").alias("_sa"),
+        F.col("doc_b").alias("_sb"),
         F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
         F.size("sh_a").alias("n_a"),
         F.size("sh_b").alias("n_b"),
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+    set_pairs = pairs.select("_sa", "_sb", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+    ma = members.select(F.col("doc_id").alias("_da"), F.col("_set").alias("_sa"))
+    mb = members.select(F.col("doc_id").alias("_db"), F.col("_set").alias("_sb"))
+    cross = (
+        set_pairs.join(ma, "_sa")
+        .join(mb, "_sb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # same-set doc pairs: identical sets collide in every band and
+    # verify at exactly 1.0 — emit directly (threshold ≤ 1 keeps them,
+    # matching the doc-level plan's behavior)
+    dup_sets = usets.filter(F.col("_n_docs") > 1).select("_set")
+    sig_groups = (
+        members.join(dup_sets, "_set")
+        .groupBy("_set")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+    )
+    same = (
+        sig_groups.select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionAll(same)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
