@@ -196,7 +196,6 @@ def ngram_jaccard_pairs(
             F.count("*").alias("_n_docs"), F.first("_harr").alias("_harr")
         )
     )
-    usets.count()
     # capped per-set postings: one row per (set, sub-cap shingle); the
     # hot list uses the true per-DOC frequency
     rep_sh = usets.select(
@@ -211,8 +210,12 @@ def ngram_jaccard_pairs(
             .select("_sh")
         )
         rep_sh = rep_sh.join(F.broadcast(hot), "_sh", "left_anti")
+    # lazily persisted: the two consumers (same-set scoring, postings)
+    # are separate shuffle map stages of the one output action — the
+    # first to run populates the cache, the eager count()s this replaces
+    # were pure extra actions (measured overhead at sf0.1, where fixed
+    # per-action cost is the dominant term of this operator)
     rep_sh = _persist(rep_sh)
-    rep_sh.count()
     # same-set pairs: jaccard = c/(2n−c) with c = |capped set| ≥ 1 (a
     # set whose every shingle is capped away shares no countable
     # shingle, so its docs never pair — matching the pair-generation
@@ -441,12 +444,13 @@ def minhash_near_duplicates(
     )
     dsh.count()
     members = dsh.select("doc_id", "_set")
+    # lazily persisted: first consumer (the signature aggregate inside
+    # minhash_lsh_candidates' eager materialization) populates it
     usets = _persist(
         dsh.groupBy("_set").agg(
             F.count("*").alias("_n_docs"), F.first("_ha").alias("_ha")
         )
     )
-    usets.count()
     hashed = usets.select(
         F.col("_set").alias("doc_id"), F.explode("_ha").alias("_hh")
     ).select("doc_id", "_hh._h1", "_hh._h2")

@@ -52,8 +52,29 @@ def load(
     (repetition_scores, pii_redact) keep the default."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
+        # size gate: below a few MB the round-robin exchange costs more
+        # than the residual single-task compute it parallelizes
+        # (interleaved A/B at sf0.1, 0.6 MB: word_index 0.47→0.71 s,
+        # heavy_hitters 0.97→1.33 s WITH an ungated spread; sf1.0,
+        # 5.6 MB: word_index 2.0→1.0 s, extract_spans 7.3→1.5 s with
+        # it). Production-scale tables pass the gate trivially and are
+        # instead excluded by the partition-count check.
+        import os
+
+        path = f"{sf_dir}/{name}.parquet"
+        size = (
+            sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+            )
+            if os.path.isdir(path)
+            else os.path.getsize(path)
+        )
+        min_bytes = int(
+            os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 4 * 1024 * 1024)
+        )
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if size >= min_bytes and df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     return df
 
