@@ -144,8 +144,12 @@ LIMIT 10
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filters push down; orders/lineitem
-    join shuffles on orderkey; top-10 via TakeOrdered (no full sort)."""
+    """TPC-H Q3 shape: selective dim filters push down; orders is
+    reduced by the broadcast BUILDING-customer semi side BEFORE meeting
+    lineitem (r7, guide §3.2 — shrink the shuffled side first; ~1/5 of
+    orders survive the segment filter, so the orderkey join moves 5×
+    fewer orders bytes, and at this scale AQE turns it into a broadcast
+    join outright); top-10 via TakeOrdered (no full sort)."""
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -154,9 +158,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC6) - F.col("l_discount").cast(DEC6))
+    orders_red = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders_red, li.l_orderkey == orders_red.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select(
@@ -187,7 +193,14 @@ LIMIT 10
 
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake of broadcast dims around the lineitem
-    fact; only orders⋈lineitem shuffles."""
+    fact. r7 (guide §3.2): the ASIA-customer chain
+    (region⋈nation⋈customer — all broadcast-sized) reduces ORDERS
+    before it ever meets lineitem, so the one big join moves only the
+    ~1/5 of orders with an ASIA customer (at this scale AQE then turns
+    it into a broadcast join; at cluster scale it stays a 5×-smaller
+    shuffle). Join reordering only — inner joins and the
+    c_nationkey = s_nationkey filter commute, and the oracle hash
+    pins the result."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -195,13 +208,18 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC6) - F.col("l_discount").cast(DEC6))
+    cust_asia = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders_red = orders.join(
+        F.broadcast(cust_asia), orders.o_custkey == cust_asia.c_custkey
+    ).select("o_orderkey", "c_nationkey", "n_name")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders_red, li.l_orderkey == orders_red.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
