@@ -180,21 +180,30 @@ def ngram_jaccard_pairs(
     # id by projection replaces a 5M-row groupBy(doc) shuffle.
     ds = doc_shingles(docs, text_col, n)
     harr = F.sort_array(F.transform("shingles", lambda x: F.xxhash64(x)))
+    # 128-bit set identity (two independent xxhash64 passes in one
+    # struct): a single 64-bit id carries a BIRTHDAY bound over the
+    # corpus — at 10¹¹ distinct sets, (10¹¹)²/2⁶⁵ ≈ hundreds of silent
+    # set-merges, each a false duplicate pair — unlike the per-pair
+    # probe/posting collisions discussed above, which stay vanishing.
+    # The struct rides groupBys, joins, and the a<b ordering unchanged.
+    set_id = F.struct(
+        F.xxhash64("_harr").alias("_s1"),
+        F.xxhash64(F.lit(1), F.col("_harr")).alias("_s2"),
+    )
     dsh = _persist(
         ds.select(
             "doc_id",
             F.size("shingles").alias("n_shingles"),
             harr.alias("_harr"),
-        ).withColumn("_set", F.xxhash64("_harr"))
+        ).withColumn("_set", set_id)
     )
     dsh.count()
     members = dsh.select("doc_id", "n_shingles", "_set")
     # one row per DISTINCT set, with its doc multiplicity; the hash
-    # arrays ride this (set-count-sized) dedup shuffle once
-    usets = _persist(
-        dsh.groupBy("_set", "n_shingles").agg(
-            F.count("*").alias("_n_docs"), F.first("_harr").alias("_harr")
-        )
+    # arrays ride this (set-count-sized) dedup shuffle once. NOT
+    # persisted: rep_sh (itself persisted) is its only consumer.
+    usets = dsh.groupBy("_set", "n_shingles").agg(
+        F.count("*").alias("_n_docs"), F.first("_harr").alias("_harr")
     )
     # capped per-set postings: one row per (set, sub-cap shingle); the
     # hot list uses the true per-DOC frequency
@@ -437,9 +446,19 @@ def minhash_near_duplicates(
             ),
         )
     )
+    # 128-bit set identity struct — same birthday-bound reasoning as
+    # ngram_jaccard_pairs: a 64-bit id silently merges ~(sets)²/2⁶⁵
+    # distinct sets corpus-wide; two independent hashes push that to
+    # 2⁻¹²⁹. The struct flows through the signature groupBy, band
+    # collect lists, ordered pair comparison, and expansion joins
+    # unchanged.
     dsh = _persist(
         ds.select("doc_id", ha.alias("_ha")).withColumn(
-            "_set", F.xxhash64("_ha")
+            "_set",
+            F.struct(
+                F.xxhash64("_ha").alias("_s1"),
+                F.xxhash64(F.lit(1), F.col("_ha")).alias("_s2"),
+            ),
         )
     )
     dsh.count()

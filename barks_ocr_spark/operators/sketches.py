@@ -143,14 +143,17 @@ def heavy_hitters(
 
     def _batch_counts(b: pd.DataFrame) -> pd.Series:
         # ASCII-whitespace tokenization, mirroring the oracle's
-        # trim(…) + string_split_regex(…, '\s+') (RE2 \s is ASCII) —
-        # pandas' default str.strip()/str.split() use Python's Unicode
-        # whitespace, which would diverge on NBSP/U+2028 text (ADVICE
-        # r6). '' tokens from the regex split are dropped exactly as
-        # the oracle's word <> '' filter drops them.
+        # trim(…) + string_split_regex(…, '\s+') EXACTLY: RE2's \s is
+        # [\t\n\f\r ] — NO vertical tab, unlike both Java's and
+        # Python's \s — so \x0b is deliberately absent from the class
+        # (probed directly against DuckDB). pandas' default
+        # str.strip()/str.split() use Python's Unicode whitespace,
+        # which would diverge on NBSP/U+2028/\x0b text (ADVICE r6).
+        # '' tokens from the regex split are dropped exactly as the
+        # oracle's word <> '' filter drops them.
         texts = b["text"].dropna().astype(str).str.lower().str.strip(" ")
         words = (
-            texts.str.split("[\t\n\x0b\f\r ]+", regex=True)
+            texts.str.split("[\t\n\f\r ]+", regex=True)
             .explode()
             .dropna()
         )
