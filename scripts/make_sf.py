@@ -5,10 +5,12 @@ scale (BENCH_r06 recorded sf=1.0); /root/testdata ships only up to
 sf0.1. For local large-scale A/Bs we scale sf0.1 up 10x
 deterministically (seed fixed):
 
-- documents: 50k distinct texts sampled from the sf0.1 empirical word
-  distribution (31-word vocab, 10-100 words/doc), each emitted exactly
-  twice -> a 2x-duplicated 100k-row corpus (the shape used for every
-  sf1.0 number in OPTIMIZATION_r07.md).
+- documents: 50k rows sampled from the sf0.1 empirical word
+  distribution (31-word vocab, 10-100 words/doc): 49,920 distinct
+  texts plus 80 planted duplicate texts (x2) — the 10x scale-up of
+  sf0.1's 8-dups-per-5000 rate. The bench queries double this corpus
+  in-query (_doubled_docs), giving the 2x-duplicated 100k-doc stream
+  every sf1.0 number in OPTIMIZATION_r07.md describes.
 - lineitem/orders/customer/supplier/part: replicated 10x with
   consistent key offsets so referential integrity holds.
 - events: replicated 10x; event_id/user_id offset per copy, timestamps
@@ -69,13 +71,14 @@ def make_documents(rng: np.random.RandomState) -> pd.DataFrame:
     langs = base.lang.value_counts(normalize=True)
     sources = base.source.value_counts(normalize=True)
 
-    n_distinct = 50_000
+    n_distinct = 49_920
     lens = rng.randint(10, 101, size=n_distinct)
     texts = [
         " ".join(rng.choice(vwords, size=n, p=vprob)) for n in lens
     ]
-    # every distinct text appears exactly twice (2x-duplicated corpus)
-    texts2 = texts + texts
+    # plant 80 duplicate texts (x2 each) — 10x sf0.1's planted-dup rate
+    texts2 = texts + texts[:80]
+    rng.shuffle(texts2)
     lang = rng.choice(langs.index.to_numpy(), size=len(texts2), p=langs.to_numpy())
     source = rng.choice(
         sources.index.to_numpy(), size=len(texts2), p=sources.to_numpy()
