@@ -336,6 +336,58 @@ def test_simhash_bucket_cap_and_audit(spark):
     assert all(r["n_sigs"] > 1 for r in audit.collect())
 
 
+def test_simhash_batch_fold_paths_match_reference():
+    # both fold branches (dense counts@bits for small batch vocab,
+    # token-gather reduceat for diverse batches) must be byte-identical
+    # to an independent per-token-occurrence reference
+    import numpy as np
+
+    def reference(texts):
+        import re
+
+        non_alnum = re.compile(r"[^a-z0-9\s]", re.ASCII)
+        ws = re.compile(r"\s+", re.ASCII)
+        out = []
+        for t in texts:
+            s = ws.sub(" ", non_alnum.sub("", str(t).lower())).strip()
+            if not s:
+                out.append(None)
+                continue
+            toks = s.split(" ")
+            votes = np.zeros(64, dtype=np.int64)
+            for tok, h in zip(
+                toks, pd.util.hash_array(np.asarray(toks, dtype=object))
+            ):
+                bits = np.unpackbits(
+                    np.uint64(h).reshape(1).view(np.uint8), bitorder="little"
+                ).astype(np.int64)
+                votes += 2 * bits - 1
+            masks = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
+                np.uint64
+            )
+            out.append(int(((votes > 0).astype(np.uint64) @ masks).view(np.int64)))
+        return out
+
+    rng = np.random.RandomState(3)
+    small_vocab = ["spark", "row", "dup", "a9", ""]
+    big_vocab = [f"tok{i}" for i in range(3000)]
+    cases = (
+        # dense branch: tiny vocabulary, incl. empties and a 300-token
+        # doc (≥256 exercises nothing here but matches bench shapes)
+        ["", "  ", "Spark! row; dup"]
+        + [" ".join(rng.choice(small_vocab, size=n)) for n in (1, 7, 300)],
+        # gather branch: >1024 distinct tokens in one batch, with a
+        # ≥256-token doc to hit the int32 accumulator
+        [" ".join(rng.choice(big_vocab, size=n)) for n in (1, 50, 300)]
+        + [" ".join(big_vocab[:1500])],
+    )
+    for texts in cases:
+        got = dedup._simhash_batch(pd.Series(texts))
+        want = reference(texts)
+        for g, w in zip(got, want):
+            assert (g is pd.NA and w is None) or g == w, (g, w)
+
+
 def test_simhash_kernel_contract_matches_relational(spark):
     # empty / whitespace / null docs yield no signature row in either form
     rows = [(1, ""), (2, "   "), (3, None), (4, "actual words here")]
