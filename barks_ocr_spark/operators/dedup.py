@@ -149,27 +149,32 @@ def ngram_jaccard_pairs(
        the pair stream shrinks by the duplication factor SQUARED.
        Same-set doc pairs don't need pair counting at all: their
        jaccard is |capped set| / (2n − |capped set|), computed per set.
-    2. **One exchange of hash-keyed postings** — ``groupBy(shingle
-       hash).collect_list(set, n)`` with ordered set pairs generated
-       IN-TASK by a double explode, replacing the former shingle-keyed
-       self-join that exchanged the shingle TEXT table twice. 8-byte
-       xxhash64 keys instead of ~25-byte shingle text (same keying
-       discipline, and the same ~n²/2⁶⁴ collision odds, as
-       remove_repeated_chunks; a set-id collision could merge two
-       distinct sets — ~|sets|²/2⁶⁴ — and the DuckDB oracle, which
-       keys on text, agrees at every test scale).
+    2. **Prefix-filtered candidates, exact array verify** (AllPairs /
+       PPJoin prefix filtering on the free hash-ascending order): a
+       pair reaching the threshold must share its globally-smallest
+       common shingle within the first m − ⌈t·n⌉ + 1 elements of both
+       sorted capped arrays, so postings are built from those PREFIXES
+       only (~one fifth of the shingles at t=0.8) — one exchange of
+       hash-keyed prefix postings, ordered set pairs generated IN-TASK
+       by a double explode, then candidates verified exactly with
+       ``array_intersect`` on the capped arrays. 8-byte xxhash64 keys
+       instead of ~25-byte shingle text (same keying discipline, and
+       the same ~n²/2⁶⁴ collision odds, as remove_repeated_chunks; a
+       set-id collision could merge two distinct sets — ~|sets|²/2⁶⁴ —
+       and the DuckDB oracle, which keys on text, agrees at every test
+       scale).
     3. **Size-ratio prune** — jaccard ≤ min(n_a,n_b)/max(n_a,n_b), and
        double division is monotone, so dropping set pairs with
-       min/max < threshold before the pair-count aggregate loses no
+       min/max < threshold before the candidate distinct loses no
        surviving pair.
 
     The hot-shingle cap uses the true per-DOC frequency (a tiny
-    aggregate broadcast as an anti-join list — postings length counts
-    distinct sets and can no longer stand in for it).
+    aggregate collected into a one-row array and removed array-side).
     Measured at sf1.0 / local[32] (a 2×-duplicated 100k-doc corpus),
     best-of-2: 104.9 s (r6 self-join) → 24.9 s (hash postings + prune)
-    → 13.6 s (distinct-set collapse), byte-identical output
-    (oracle-checked at sf0.001, sf0.01, sf0.1, sf1.0).
+    → 13.6 s (distinct-set collapse) → see OPTIMIZATION_r07.md for the
+    prefix-filter step, byte-identical output (oracle-checked at
+    sf0.001, sf0.01, sf0.1, sf1.0).
     """
     # The shingle pipeline (canonicalize + regex) runs once into the
     # persisted table, which carries per doc the sorted shingle-HASH
@@ -200,14 +205,20 @@ def ngram_jaccard_pairs(
     dsh.count()
     members = dsh.select("doc_id", "n_shingles", "_set")
     # one row per DISTINCT set, with its doc multiplicity; the hash
-    # arrays ride this (set-count-sized) dedup shuffle once. NOT
-    # persisted: rep_sh (itself persisted) is its only consumer.
+    # arrays ride this (set-count-sized) dedup shuffle once
     usets = dsh.groupBy("_set", "n_shingles").agg(
         F.count("*").alias("_n_docs"), F.first("_harr").alias("_harr")
     )
-    # capped per-set postings: one row per (set, sub-cap shingle); the
-    # hot list uses the true per-DOC frequency
-    rep_sh = usets.select(
+    # capped per-set arrays + 1024-bit set bitmaps, from ONE set-keyed
+    # regroup of the exploded postings: the hot list (true per-DOC
+    # frequency) is removed by the same broadcast anti-join as before,
+    # at the posting level; the surviving postings re-collect into a
+    # sorted capped array per set, and sixteen bit_or aggregates fold
+    # the low 10 bits of each shingle hash into a 16×long bitmap that
+    # rides the same exchange. (A one-row array_except crossJoin would
+    # skip the regroup but plans as BroadcastNestedLoopJoin, which the
+    # scale screen rightly rejects.)
+    rep = usets.select(
         "_set", "n_shingles", "_n_docs", F.explode("_harr").alias("_sh")
     )
     if max_shingle_freq is not None:
@@ -218,26 +229,47 @@ def ngram_jaccard_pairs(
             .filter(F.col("freq") > max_shingle_freq)
             .select("_sh")
         )
-        rep_sh = rep_sh.join(F.broadcast(hot), "_sh", "left_anti")
-    # lazily persisted: the two consumers (same-set scoring, postings)
-    # are separate shuffle map stages of the one output action — the
-    # first to run populates the cache, the eager count()s this replaces
-    # were pure extra actions (measured overhead at sf0.1, where fixed
-    # per-action cost is the dominant term of this operator)
-    rep_sh = _persist(rep_sh)
-    # same-set pairs: jaccard = c/(2n−c) with c = |capped set| ≥ 1 (a
-    # set whose every shingle is capped away shares no countable
-    # shingle, so its docs never pair — matching the pair-generation
-    # semantics exactly)
+        rep = rep.join(F.broadcast(hot), "_sh", "left_anti")
+    # word w of the bitmap ORs bit (h & 63) for shingles with
+    # (h >> 6) & 15 == w — arithmetic shift only disturbs high bits, so
+    # bits 6..9 select the word correctly for negative hashes too
+    bitmap_aggs = [
+        F.bit_or(
+            F.expr(
+                f"CASE WHEN ((_sh >> 6) & 15) = {w} "
+                "THEN shiftleft(CAST(1 AS BIGINT), CAST(_sh & 63 AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias(f"_b{w}")
+        for w in range(16)
+    ]
+    capped = rep.groupBy("_set", "n_shingles", "_n_docs").agg(
+        F.sort_array(F.collect_list("_sh")).alias("_carr"), *bitmap_aggs
+    )
+    # lazily persisted, 5 consumers (prefix postings, bitmap prefilter
+    # sides, exact-verify sides, same-set scoring) — the first to run
+    # populates the cache
+    uc = _persist(
+        capped.select(
+            "_set",
+            "n_shingles",
+            "_n_docs",
+            "_carr",
+            F.size("_carr").alias("_m"),
+            *[F.col(f"_b{w}") for w in range(16)],
+        )
+    )
+    # same-set pairs: jaccard = c/(2n−c) with c = |capped set| — a pure
+    # projection now that the capped array size is a column (a set whose
+    # every shingle is capped away scores 0 and never pairs, matching
+    # the pair-generation semantics exactly)
     same_sets = (
-        rep_sh.groupBy("_set", "n_shingles", "_n_docs")
-        .agg(F.count("*").alias("_c"))
-        .filter(F.col("_n_docs") > 1)
+        uc.filter(F.col("_n_docs") > 1)
         .select(
             "_set",
             (
-                F.col("_c")
-                / (F.col("n_shingles") + F.col("n_shingles") - F.col("_c"))
+                F.col("_m")
+                / (F.col("n_shingles") + F.col("n_shingles") - F.col("_m"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -250,15 +282,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "jaccard")
     )
-    # cross-set pairs: one exchange to postings lists, in-task pair
-    # generation, ratio prune, then the pair-count aggregate
-    postings = rep_sh.groupBy("_sh").agg(
+    # Cross-set pairs by PREFIX FILTERING (AllPairs/PPJoin, on the free
+    # hash-ascending order): a pair reaching jaccard ≥ t shares
+    # c ≥ ⌈t·n_x⌉ capped shingles (using n_y ≥ t·n_x, which any passing
+    # pair satisfies via jaccard ≤ min/max), and under ANY global total
+    # order the SMALLEST shared element must then sit within the first
+    # m_x − ⌈t·n_x⌉ + 1 elements of BOTH sorted capped arrays — else
+    # ≤ ⌈t·n_x⌉ − 1 elements remain after it, a contradiction. So
+    # postings are built from those prefixes only (the arrays are
+    # already hash-sorted; no frequency join, no reordering), candidate
+    # pairs come from the same one-exchange postings/double-explode
+    # shape as before, and the survivors are verified EXACTLY by
+    # intersecting the two capped arrays. Measured at sf1.0: the pair
+    # stream drops 128M → 23M rows (ratio-pruned 47M → 8.5M) — the
+    # pair-count aggregate over ~all-distinct keys that was half this
+    # operator is replaced by a 5.5× smaller distinct + an
+    # output-proportional array intersect. ⌈t·n⌉ is computed in exact
+    # integer arithmetic from Fraction(threshold) — a float ceil that
+    # lands one too high silently shortens the prefix and can MISS
+    # pairs at any corpus size.
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    ta, tb = fr.numerator, fr.denominator
+    c_req = F.floor(
+        (F.lit(ta) * F.col("n_shingles") + F.lit(tb - 1)) / F.lit(tb)
+    ).cast("int")
+    plen = F.greatest(F.col("_m") - c_req + 1, F.lit(0))
+    pre = uc.select(
+        "_set",
+        "n_shingles",
+        F.explode(F.slice("_carr", F.lit(1), plen)).alias("_sh"),
+    )
+    postings = pre.groupBy("_sh").agg(
         F.collect_list(F.struct("_set", "n_shingles")).alias("_ds")
     )
     postings = postings.filter(F.size("_ds") > 1)
     x, y = F.col("_x"), F.col("_y")
     n_x, n_y = x["n_shingles"], y["n_shingles"]
-    pairs = (
+    cand = (
         postings.select(F.explode("_ds").alias("_x"), "_ds")
         .select("_x", F.explode("_ds").alias("_y"))
         .filter(x["_set"] < y["_set"])
@@ -266,16 +328,74 @@ def ngram_jaccard_pairs(
         .filter(
             F.least(n_x, n_y) / F.greatest(n_x, n_y) >= F.lit(threshold)
         )
+        .select(x["_set"].alias("_sa"), y["_set"].alias("_sb"))
+        .distinct()
     )
-    inter = pairs.groupBy(
-        x["_set"].alias("_sa"),
-        y["_set"].alias("_sb"),
-        n_x.alias("n_a"),
-        n_y.alias("n_b"),
-    ).agg(F.count("*").alias("n_common"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    set_pairs = inter.select("_sa", "_sb", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    # Verify in two stages. Stage 1 — bitmap prefilter:
+    # bit_count(AND) of the two 1024-bit set bitmaps counts the
+    # distinct common BITS, which undercounts |capped_x ∩ capped_y|
+    # only by bit collisions among the common elements — and those are
+    # bounded by either set's OWN collision count m − bit_count(b), so
+    #   bit_count(AND) + min(coll_x, coll_y) ≥ c
+    # is a true upper bound. Dropping candidates whose bound is below
+    # the minimum passing intersection c ≥ ⌈t·(n_a+n_b)/(1+t)⌉ (exact
+    # integer arithmetic from the same Fraction) is therefore lossless.
+    # A random candidate shares ~|x|·|y|/1024 bits, far below the
+    # ~0.9·n a passing pair needs, so ~all of the candidate stream dies
+    # on a 128-byte AND instead of materializing two full hash arrays
+    # per pair (measured: the array-join verify was 7-16 s at sf1.0;
+    # see OPTIMIZATION_r07.md). Stage 2 — exact array_intersect on the
+    # (output-proportional) survivors.
+    pc = None
+    for w in range(16):
+        term = F.bit_count(F.col(f"_b{w}"))
+        pc = term if pc is None else pc + term
+    ucp = uc.withColumn("_coll", F.col("_m") - pc)
+    ba = ucp.select(
+        F.col("_set").alias("_sa"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("_coll").alias("_cla"),
+        *[F.col(f"_b{w}").alias(f"_x{w}") for w in range(16)],
+    )
+    bb = ucp.select(
+        F.col("_set").alias("_sb"),
+        F.col("n_shingles").alias("n_b"),
+        F.col("_coll").alias("_clb"),
+        *[F.col(f"_b{w}").alias(f"_y{w}") for w in range(16)],
+    )
+    ub = F.least("_cla", "_clb")
+    for w in range(16):
+        ub = ub + F.bit_count(F.col(f"_x{w}").bitwiseAND(F.col(f"_y{w}")))
+    c_min = F.floor(
+        (
+            F.lit(ta) * (F.col("n_a") + F.col("n_b"))
+            + F.lit(ta + tb - 1)
+        )
+        / F.lit(ta + tb)
+    ).cast("int")
+    surv = (
+        cand.join(ba, "_sa")
+        .join(bb, "_sb")
+        .filter(ub >= c_min)
+        .select("_sa", "_sb")
+    )
+    ca = uc.select(
+        F.col("_set").alias("_sa"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("_carr").alias("_ca"),
+    )
+    cb = uc.select(
+        F.col("_set").alias("_sb"),
+        F.col("n_shingles").alias("n_b"),
+        F.col("_carr").alias("_cb"),
+    )
+    n_common = F.size(F.array_intersect("_ca", "_cb"))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    set_pairs = (
+        surv.join(ca, "_sa")
+        .join(cb, "_sb")
+        .select("_sa", "_sb", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
     ma = members.select(F.col("doc_id").alias("_da"), F.col("_set").alias("_sa"))
     mb = members.select(F.col("doc_id").alias("_db"), F.col("_set").alias("_sb"))

@@ -35,6 +35,57 @@ def test_ngram_jaccard_pairs(spark):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_prefix_and_bitmap_are_lossless(spark):
+    # Adversarial corpus for the r7 prefix-filter + bitmap-prefilter
+    # pipeline: LARGE shingle sets (hundreds of bits set in the
+    # 1024-bit set bitmaps, so intra-set bit collisions are guaranteed
+    # and the collision-slack term of the prefilter bound is load-
+    # bearing) with many pairs sitting just at/above/below the
+    # threshold. Output must equal an independent brute-force reference
+    # to the exact float.
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    base_docs = []
+    for i in range(12):
+        base_docs.append([rng.choice(vocab) for _ in range(300)])
+    rows = []
+    doc_words = {}
+    did = 0
+    for words in base_docs:
+        for _ in range(2):  # an exact twin ...
+            rows.append((did, " ".join(words)))
+            doc_words[did] = words
+            did += 1
+        # ... and graded perturbations straddling the threshold
+        for n_edits in (3, 12, 40):
+            mut = list(words)
+            for _ in range(n_edits):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((did, " ".join(mut)))
+            doc_words[did] = mut
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_freq=None)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+
+    def sh3(words):
+        return set(zip(words, words[1:], words[2:]))
+
+    sets = {d: sh3(w) for d, w in doc_words.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= 0.8:
+            want[(a, b)] = jac
+    assert got == want
+    assert any(v < 1.0 for v in want.values())  # near-dups present
+    assert any(v == 1.0 for v in want.values())  # twins present
+
+
 def test_minhash_finds_planted_dups(spark):
     out = dedup.minhash_near_duplicates(_corpus(spark), threshold=0.8).collect()
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
