@@ -556,39 +556,46 @@ def minhash_near_duplicates(
     they save. Exploding the in-array-built struct-of-hashes skips the
     per-row UTF8 copies of exploding shingle strings — the same
     measured 4.7× stream win as decontam's gram explode.)"""
-    ds = doc_shingles(docs, text_col, n)
-    ha = F.sort_array(
-        F.transform(
-            "shingles",
-            lambda s: F.struct(
-                F.xxhash64(s).alias("_h1"),
-                F.xxhash64(s, F.lit(1)).alias("_h2"),
-            ),
-        )
-    )
+    # r7b: collapse by TEXT fingerprint BEFORE the shingle/hash kernel —
+    # the shingle regex + double-hash transform + fat-struct-array
+    # persist was the dominant stage (2.45 s of ~5 s at sf1.0), and on
+    # a duplicated corpus it ran once per DOC; the groupBy(first(text))
+    # collapse runs it once per DISTINCT text (the exact_duplicates
+    # shuffle shape — a corpus-keyed exchange a dedup operator pays by
+    # definition), and the separate set-keyed usets aggregate of struct
+    # arrays disappears. Two texts with identical shingle SETS now form
+    # two "sets" and are found as cross pairs at jaccard 1.0 — the
+    # output is unchanged, only the internal set partition is finer.
+    #
     # 128-bit set identity struct — same birthday-bound reasoning as
     # ngram_jaccard_pairs: a 64-bit id silently merges ~(sets)²/2⁶⁵
     # distinct sets corpus-wide; two independent hashes push that to
     # 2⁻¹²⁹. The struct flows through the signature groupBy, band
     # collect lists, ordered pair comparison, and expansion joins
     # unchanged.
-    dsh = _persist(
-        ds.select("doc_id", ha.alias("_ha")).withColumn(
-            "_set",
-            F.struct(
-                F.xxhash64("_ha").alias("_s1"),
-                F.xxhash64(F.lit(1), F.col("_ha")).alias("_s2"),
+    fpr = docs.select("doc_id", F.col(text_col).alias("_text")).withColumn(
+        "_set",
+        F.struct(
+            F.xxhash64("_text").alias("_s1"),
+            F.xxhash64(F.lit(1), F.col("_text")).alias("_s2"),
+        ),
+    )
+    members = fpr.select("doc_id", "_set")
+    utexts = fpr.groupBy("_set").agg(
+        F.count("*").alias("_n_docs"), F.first("_text").alias("_text")
+    )
+    sh = shingles_from_text(F.col("_text"), n)
+    ha = F.sort_array(
+        F.transform(
+            sh,
+            lambda s: F.struct(
+                F.xxhash64(s).alias("_h1"),
+                F.xxhash64(s, F.lit(1)).alias("_h2"),
             ),
         )
     )
-    dsh.count()
-    members = dsh.select("doc_id", "_set")
-    # lazily persisted: first consumer (the signature aggregate inside
-    # minhash_lsh_candidates' eager materialization) populates it
     usets = _persist(
-        dsh.groupBy("_set").agg(
-            F.count("*").alias("_n_docs"), F.first("_ha").alias("_ha")
-        )
+        utexts.filter(F.size(sh) > 0).select("_set", "_n_docs", ha.alias("_ha"))
     )
     hashed = usets.select(
         F.col("_set").alias("doc_id"), F.explode("_ha").alias("_hh")
