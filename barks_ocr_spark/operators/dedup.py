@@ -176,39 +176,49 @@ def ngram_jaccard_pairs(
     prefix-filter step, byte-identical output (oracle-checked at
     sf0.001, sf0.01, sf0.1, sf1.0).
     """
-    # The shingle pipeline (canonicalize + regex) runs once into the
-    # persisted table, which carries per doc the sorted shingle-HASH
-    # array, its size, and the set id — all PURE PROJECTIONS over the
-    # shingle arrays: hashing inside the array and exploding longs
-    # skips the per-row UTF8 copies of exploding shingle text (measured
-    # 1.95 s → 0.42 s for the same stream shape), and deriving the set
-    # id by projection replaces a 5M-row groupBy(doc) shuffle.
-    ds = doc_shingles(docs, text_col, n)
-    harr = F.sort_array(F.transform("shingles", lambda x: F.xxhash64(x)))
+    # r7b: collapse by TEXT fingerprint BEFORE the shingle/hash kernel
+    # (same move as minhash_near_duplicates): the canonicalize + regex +
+    # in-array hashing pipeline was the dominant stage and ran once per
+    # DOC; grouping by a 128-bit text fingerprint first (the
+    # exact_duplicates shuffle shape — a corpus-keyed exchange a dedup
+    # operator pays by definition) runs it once per DISTINCT text, and
+    # the old doc-level persisted table + set-keyed first(_harr)
+    # aggregate both disappear. Two texts with identical shingle SETS
+    # now form two internal "sets" and surface as cross pairs at
+    # jaccard 1.0 — output unchanged, the set partition is merely finer.
+    #
     # 128-bit set identity (two independent xxhash64 passes in one
     # struct): a single 64-bit id carries a BIRTHDAY bound over the
     # corpus — at 10¹¹ distinct sets, (10¹¹)²/2⁶⁵ ≈ hundreds of silent
     # set-merges, each a false duplicate pair — unlike the per-pair
     # probe/posting collisions discussed above, which stay vanishing.
     # The struct rides groupBys, joins, and the a<b ordering unchanged.
-    set_id = F.struct(
-        F.xxhash64("_harr").alias("_s1"),
-        F.xxhash64(F.lit(1), F.col("_harr")).alias("_s2"),
+    fpr = docs.select("doc_id", F.col(text_col).alias("_text")).withColumn(
+        "_set",
+        F.struct(
+            F.xxhash64("_text").alias("_s1"),
+            F.xxhash64(F.lit(1), F.col("_text")).alias("_s2"),
+        ),
     )
-    dsh = _persist(
-        ds.select(
-            "doc_id",
-            F.size("shingles").alias("n_shingles"),
+    members = fpr.select("doc_id", "_set")
+    utexts = fpr.groupBy("_set").agg(
+        F.count("*").alias("_n_docs"), F.first("_text").alias("_text")
+    )
+    sh = shingles_from_text(F.col("_text"), n)
+    harr = F.sort_array(F.transform(sh, lambda x: F.xxhash64(x)))
+    # one row per DISTINCT text, with its doc multiplicity and the
+    # sorted shingle-hash array — eagerly materialized: the hot list
+    # below feeds a BROADCAST build side, which recomputes a lazily
+    # persisted input instead of reading the cache
+    usets = _persist(
+        utexts.filter(F.size(sh) > 0).select(
+            "_set",
+            "_n_docs",
+            F.size(sh).alias("n_shingles"),
             harr.alias("_harr"),
-        ).withColumn("_set", set_id)
+        )
     )
-    dsh.count()
-    members = dsh.select("doc_id", "n_shingles", "_set")
-    # one row per DISTINCT set, with its doc multiplicity; the hash
-    # arrays ride this (set-count-sized) dedup shuffle once
-    usets = dsh.groupBy("_set", "n_shingles").agg(
-        F.count("*").alias("_n_docs"), F.first("_harr").alias("_harr")
-    )
+    usets.count()
     # capped per-set arrays + 1024-bit set bitmaps, from ONE set-keyed
     # regroup of the exploded postings: the hot list (true per-DOC
     # frequency) is removed by the same broadcast anti-join as before,
@@ -222,10 +232,13 @@ def ngram_jaccard_pairs(
         "_set", "n_shingles", "_n_docs", F.explode("_harr").alias("_sh")
     )
     if max_shingle_freq is not None:
+        # true per-DOC frequency = Σ _n_docs over the sets containing
+        # the shingle (each doc of a set contributes its distinct
+        # shingles once — identical to the old doc-level explode)
         hot = (
-            dsh.select(F.explode("_harr").alias("_sh"))
+            usets.select("_n_docs", F.explode("_harr").alias("_sh"))
             .groupBy("_sh")
-            .agg(F.count("*").alias("freq"))
+            .agg(F.sum("_n_docs").alias("freq"))
             .filter(F.col("freq") > max_shingle_freq)
             .select("_sh")
         )
