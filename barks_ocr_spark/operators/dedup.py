@@ -322,18 +322,52 @@ def ngram_jaccard_pairs(
         (F.lit(ta) * F.col("n_shingles") + F.lit(tb - 1)) / F.lit(tb)
     ).cast("int")
     plen = F.greatest(F.col("_m") - c_req + 1, F.lit(0))
+    # The bitmap prefilter runs IN-TASK during pair generation: each
+    # posting element carries its set's (id, n, collision count, 16-word
+    # bitmap), so the bound below is a projection over the exploded pair
+    # stream — no join against the set table, and the distinct runs on
+    # the few survivors instead of the full candidate stream (measured:
+    # a join-based prefilter over 8.35M candidates cost 7-16 s at
+    # sf1.0; in-task it rides the ~1 s pair-generation stage).
+    #
+    # Soundness of the bound: bit_count(AND) of two 1024-bit set
+    # bitmaps counts the distinct common BITS, which undercounts
+    # |capped_x ∩ capped_y| only by bit collisions among the common
+    # elements — and those are bounded by either set's OWN collision
+    # count m − bit_count(b), so
+    #   bit_count(AND) + min(coll_x, coll_y) ≥ c
+    # is a true upper bound. Dropping pairs whose bound is below the
+    # minimum passing intersection c ≥ ⌈t·(n_a+n_b)/(1+t)⌉ (exact
+    # integer arithmetic from the same Fraction) is therefore lossless.
+    # A random pair shares ~|x|·|y|/1024 bits, far below the ~0.9·n a
+    # passing pair needs, so ~all of the pair stream dies on a 128-byte
+    # AND before any shuffle; the exact array_intersect verify then
+    # runs only on the (output-proportional) survivors.
+    pc = None
+    for w in range(16):
+        term = F.bit_count(F.col(f"_b{w}"))
+        pc = term if pc is None else pc + term
+    info = F.struct(
+        F.col("_set"),
+        F.col("n_shingles"),
+        (F.col("_m") - pc).alias("_coll"),
+        *[F.col(f"_b{w}") for w in range(16)],
+    )
     pre = uc.select(
-        "_set",
-        "n_shingles",
+        info.alias("_i"),
         F.explode(F.slice("_carr", F.lit(1), plen)).alias("_sh"),
     )
-    postings = pre.groupBy("_sh").agg(
-        F.collect_list(F.struct("_set", "n_shingles")).alias("_ds")
-    )
+    postings = pre.groupBy("_sh").agg(F.collect_list("_i").alias("_ds"))
     postings = postings.filter(F.size("_ds") > 1)
     x, y = F.col("_x"), F.col("_y")
     n_x, n_y = x["n_shingles"], y["n_shingles"]
-    cand = (
+    ub = F.least(x["_coll"], y["_coll"])
+    for w in range(16):
+        ub = ub + F.bit_count(x[f"_b{w}"].bitwiseAND(y[f"_b{w}"]))
+    c_min = F.floor(
+        (F.lit(ta) * (n_x + n_y) + F.lit(ta + tb - 1)) / F.lit(ta + tb)
+    ).cast("int")
+    surv = (
         postings.select(F.explode("_ds").alias("_x"), "_ds")
         .select("_x", F.explode("_ds").alias("_y"))
         .filter(x["_set"] < y["_set"])
@@ -341,56 +375,9 @@ def ngram_jaccard_pairs(
         .filter(
             F.least(n_x, n_y) / F.greatest(n_x, n_y) >= F.lit(threshold)
         )
+        .filter(ub >= c_min)
         .select(x["_set"].alias("_sa"), y["_set"].alias("_sb"))
         .distinct()
-    )
-    # Verify in two stages. Stage 1 — bitmap prefilter:
-    # bit_count(AND) of the two 1024-bit set bitmaps counts the
-    # distinct common BITS, which undercounts |capped_x ∩ capped_y|
-    # only by bit collisions among the common elements — and those are
-    # bounded by either set's OWN collision count m − bit_count(b), so
-    #   bit_count(AND) + min(coll_x, coll_y) ≥ c
-    # is a true upper bound. Dropping candidates whose bound is below
-    # the minimum passing intersection c ≥ ⌈t·(n_a+n_b)/(1+t)⌉ (exact
-    # integer arithmetic from the same Fraction) is therefore lossless.
-    # A random candidate shares ~|x|·|y|/1024 bits, far below the
-    # ~0.9·n a passing pair needs, so ~all of the candidate stream dies
-    # on a 128-byte AND instead of materializing two full hash arrays
-    # per pair (measured: the array-join verify was 7-16 s at sf1.0;
-    # see OPTIMIZATION_r07.md). Stage 2 — exact array_intersect on the
-    # (output-proportional) survivors.
-    pc = None
-    for w in range(16):
-        term = F.bit_count(F.col(f"_b{w}"))
-        pc = term if pc is None else pc + term
-    ucp = uc.withColumn("_coll", F.col("_m") - pc)
-    ba = ucp.select(
-        F.col("_set").alias("_sa"),
-        F.col("n_shingles").alias("n_a"),
-        F.col("_coll").alias("_cla"),
-        *[F.col(f"_b{w}").alias(f"_x{w}") for w in range(16)],
-    )
-    bb = ucp.select(
-        F.col("_set").alias("_sb"),
-        F.col("n_shingles").alias("n_b"),
-        F.col("_coll").alias("_clb"),
-        *[F.col(f"_b{w}").alias(f"_y{w}") for w in range(16)],
-    )
-    ub = F.least("_cla", "_clb")
-    for w in range(16):
-        ub = ub + F.bit_count(F.col(f"_x{w}").bitwiseAND(F.col(f"_y{w}")))
-    c_min = F.floor(
-        (
-            F.lit(ta) * (F.col("n_a") + F.col("n_b"))
-            + F.lit(ta + tb - 1)
-        )
-        / F.lit(ta + tb)
-    ).cast("int")
-    surv = (
-        cand.join(ba, "_sa")
-        .join(bb, "_sb")
-        .filter(ub >= c_min)
-        .select("_sa", "_sb")
     )
     ca = uc.select(
         F.col("_set").alias("_sa"),
