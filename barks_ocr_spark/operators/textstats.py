@@ -133,23 +133,124 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _repetition_scores_batch(texts: pd.Series) -> pd.DataFrame:
-    """Per-batch kernel: Counter-based Gopher signals for one Arrow
-    batch of documents. Replicates the Spark-expression semantics
+    """Per-batch kernel: vectorized Gopher repetition signals for one
+    Arrow batch of documents. Replicates the Spark-expression semantics
     exactly: lower → trim(' ') → split on ASCII ``\\s+`` (keeping
     leading/trailing empty tokens, '' → ['']), HALF_UP rounding to 6
     places via the shortest-roundtrip decimal string (the same digits
-    Java's BigDecimal.valueOf sees in F.round)."""
+    Java's BigDecimal.valueOf sees in F.round).
+
+    r7b: the Counter-per-doc loop became batch-level numpy — factorize
+    the flat token stream once, then per-doc top-count / duplicate-sum
+    via np.unique on (doc, code)-combined int64 keys and a segmented
+    reduceat; n-gram identity uses code pairs, which equals string
+    identity because tokens cannot contain the ' ' joiner (it is split
+    away). Measured 3.5 s → 1.5 s single-core for a 50k-doc corpus
+    pass, byte-identical output (pinned by
+    test_repetition_kernel_vectorized_matches_loop, incl. the
+    empty/whitespace/single-token edges). The loop form below stays as
+    the differential reference."""
     import re
-    from collections import Counter
-    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
 
     ws_re = re.compile(r"\s+", re.ASCII)
-    q = Decimal("0.000001")
+    round6 = _round6
 
-    def round6(num: int, den: int) -> float:
-        if den == 0:
-            return 0.0
-        return float(Decimal(repr(num / den)).quantize(q, ROUND_HALF_UP))
+    toks = [ws_re.split(str(t).lower().strip(" ")) for t in texts]
+    n = np.array([len(w) for w in toks], dtype=np.int64)
+    nd = len(toks)
+    flat = np.empty(int(n.sum()), dtype=object)
+    pos = 0
+    for w in toks:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    codes, uniques = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    nu = max(len(uniques), 1)
+    doc_idx = np.repeat(np.arange(nd, dtype=np.int64), n)
+
+    def seg_top(keys, doc_of_key):
+        # top count per doc over int64 keys whose high part is the doc
+        res = np.zeros(nd, dtype=np.int64)
+        if len(keys) == 0:
+            return res
+        ukeys, counts = np.unique(keys, return_counts=True)
+        kdoc = doc_of_key(ukeys)  # ascending (keys sorted, doc in high bits)
+        starts = np.searchsorted(kdoc, np.arange(nd), side="left")
+        ends = np.searchsorted(kdoc, np.arange(nd), side="right")
+        nonempty = starts < ends
+        if nonempty.any():
+            res[nonempty] = np.maximum.reduceat(counts, starts[nonempty])
+        return res
+
+    top_uni = seg_top(doc_idx * nu + codes, lambda k: k // nu)
+
+    if len(flat) > 1:
+        same = doc_idx[:-1] == doc_idx[1:]
+        b1, b2 = codes[:-1][same], codes[1:][same]
+        bdoc = doc_idx[:-1][same]
+    else:
+        b1 = b2 = bdoc = np.zeros(0, dtype=np.int64)
+    if len(b1):
+        _, binv = np.unique(b1 * nu + b2, return_inverse=True)
+        nb = max(int(binv.max()) + 1, 1)
+        top_bi = seg_top(bdoc * nb + binv, lambda k: k // nb)
+    else:
+        top_bi = np.zeros(nd, dtype=np.int64)
+
+    dup_tri = np.zeros(nd, dtype=np.int64)
+    if len(flat) > 2:
+        same3 = (doc_idx[:-2] == doc_idx[1:-1]) & (doc_idx[1:-1] == doc_idx[2:])
+        t1 = codes[:-2][same3]
+        tdoc = doc_idx[:-2][same3]
+        if len(t1):
+            _, p2i = np.unique(
+                codes[1:-1][same3] * nu + codes[2:][same3], return_inverse=True
+            )
+            n2 = max(int(p2i.max()) + 1, 1)
+            tkey = (tdoc * np.int64(n2) + p2i) * nu + t1
+            tu, tc = np.unique(tkey, return_counts=True)
+            kdoc = tu // (np.int64(n2) * nu)
+            mask = tc > 1
+            dup_tri = np.bincount(
+                kdoc[mask], weights=tc[mask], minlength=nd
+            ).astype(np.int64)
+
+    den_b = np.maximum(n - 1, 0)
+    den_t = np.maximum(n - 2, 0)
+    return pd.DataFrame(
+        {
+            "top_unigram_frac": [
+                round6(int(a), int(b)) for a, b in zip(top_uni, n)
+            ],
+            "top_bigram_frac": [
+                round6(int(a), int(b)) for a, b in zip(top_bi, den_b)
+            ],
+            "dup_trigram_frac": [
+                round6(int(a), int(b)) for a, b in zip(dup_tri, den_t)
+            ],
+        }
+    )
+
+
+def _round6(num: int, den: int) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if den == 0:
+        return 0.0
+    return float(Decimal(repr(num / den)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _repetition_scores_batch_loop(texts: pd.Series) -> pd.DataFrame:
+    """The original Counter-per-doc form — kept ONLY as the differential
+    reference for the vectorized kernel above (not used in any query
+    path)."""
+    import re
+    from collections import Counter
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    round6 = _round6
 
     out = {"top_unigram_frac": [], "top_bigram_frac": [], "dup_trigram_frac": []}
     for t in texts:

@@ -569,3 +569,43 @@ def test_positive_class_rewrites_match_negated(spark):
         assert sorted((r["id"], r["t"]) for r in got) == sorted(
             (r["id"], r["t"]) for r in want
         ), f"positive-class rewrite diverges for {neg}"
+
+
+def test_repetition_kernel_vectorized_matches_loop():
+    # the r7b vectorized kernel must be byte-identical to the original
+    # Counter-per-doc loop form on adversarial edges and random corpora
+    import random
+
+    import pandas as pd
+
+    from barks_ocr_spark.operators import textstats
+
+    edge = pd.Series(
+        [
+            "",
+            "   ",
+            "a",
+            "a a",
+            "a a a a a",
+            "x y x y x y",
+            "the the the quick",
+            None,
+            "A b C a B c a b c",
+            " lead trail ",
+            "\t\ntabs\nnew\tlines\t\n",
+            "sp an",  # non-ASCII whitespace stays inside a token
+            "   ",
+        ]
+    )
+    rng = random.Random(5)
+    vocab = ["w%d" % i for i in range(40)] + ["the", "a", "", "x y"]
+    rand = pd.Series(
+        [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 60)))
+            for _ in range(500)
+        ]
+    )
+    for batch in (edge, rand):
+        got = textstats._repetition_scores_batch(batch)
+        want = textstats._repetition_scores_batch_loop(batch)
+        pd.testing.assert_frame_equal(got, want)
