@@ -343,6 +343,12 @@ def ngram_jaccard_pairs(
     # passing pair needs, so ~all of the pair stream dies on a 128-byte
     # AND before any shuffle; the exact array_intersect verify then
     # runs only on the (output-proportional) survivors.
+    #
+    # Width tradeoff: once m approaches the 1024-bit width the bitmap
+    # saturates and the collision slack grows until the bound stops
+    # pruning (correctness is untouched — the exact verify still runs,
+    # just on more pairs). For corpora of multi-thousand-shingle docs,
+    # widen the map (more bit_or words) in proportion to typical m.
     pc = None
     for w in range(16):
         term = F.bit_count(F.col(f"_b{w}"))
